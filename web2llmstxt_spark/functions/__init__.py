@@ -1,0 +1,1 @@
+from . import kernels  # noqa: F401

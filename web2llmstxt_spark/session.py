@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for this engine.
+
+Local sandbox runs on ``local[$SPARK_GRAFT_CPUS]``; the same config block is
+what we'd ship to a real cluster via ``spark-submit --py-files`` (minus
+master/driver-memory, which the submitter owns).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip this package for shipment to executors (spark-submit --py-files).
+
+    In local mode the Python workers are separate processes that do NOT
+    inherit the driver's ``sys.path`` hacks; on a cluster they are separate
+    hosts. Either way the package must travel as a pyfile.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_dir)
+    out = os.path.join(tempfile.gettempdir(), "web2llmstxt_spark_pkg")
+    # base_name gets .zip appended; root_dir=parent so the archive contains
+    # the top-level package directory.
+    return shutil.make_archive(out, "zip", root_dir=parent, base_dir="web2llmstxt_spark")
+
+
+def get_spark(
+    app_name: str = "web2llmstxt_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # match parallelism, not the 200 default (sandbox data is small;
+        # at cluster scale this is set to ~2-3x total cores instead)
+        shuffle_partitions = max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(package_zip())
+    return spark
