@@ -1,0 +1,95 @@
+"""Exact crawl-order + URL-seen parity: Spark engine vs pure-Python oracle.
+
+The north-rule correctness gate (BASELINE.json): same seed list + politeness
+budget => identical BFS crawl ordering and final URL-seen set. Compared
+field-by-field (url, title, content, word_count, score, depth, phase) in
+exact rank order.
+"""
+
+import pytest
+
+from web2llmstxt_spark import schemas
+from web2llmstxt_spark.oracle.crawl_oracle import CrawlConfig, crawl
+from web2llmstxt_spark.operators.frontier import FrontierCrawler
+from web2llmstxt_spark.sources.corpus import generate_corpus
+
+PAGE_FIELDS = ["url", "title", "content", "word_count", "score", "depth", "discovery_phase", "seed_id"]
+
+
+def run_both(spark, corpus, cfg, seeds=None, use_bloom=False, run_dir=None):
+    oracle_res = crawl(corpus, cfg, seeds)
+    site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
+    engine = FrontierCrawler(
+        spark,
+        site,
+        cfg,
+        robots_rules=corpus.robots_rules,
+        use_bloom=use_bloom,
+        run_dir=run_dir,
+    )
+    if seeds is None:
+        seeds = [(sid, url) for sid, url, _ in corpus.seeds]
+    pages_df, seen_df = engine.crawl(seeds)
+    engine_pages = [r.asDict() for r in pages_df.collect()]
+    engine_seen = {r.url for r in seen_df.collect()}
+    return oracle_res, engine_pages, engine_seen
+
+
+def assert_parity(oracle_res, engine_pages, engine_seen):
+    assert engine_seen == oracle_res.seen, (
+        f"seen mismatch: only_engine={sorted(engine_seen - oracle_res.seen)[:5]} "
+        f"only_oracle={sorted(oracle_res.seen - engine_seen)[:5]}"
+    )
+    assert len(engine_pages) == len(oracle_res.pages)
+    for i, (e, o) in enumerate(zip(engine_pages, oracle_res.pages)):
+        for f in PAGE_FIELDS:
+            assert e[f] == o[f], f"rank {i} field {f}: engine={e[f]!r} oracle={o[f]!r}"
+
+
+@pytest.mark.parametrize("seed,n_hosts,ppl", [(7, 1, 25), (21, 2, 30)])
+def test_normal_mode_parity(spark, seed, n_hosts, ppl):
+    corpus = generate_corpus(seed=seed, n_hosts=n_hosts, pages_per_host=ppl)
+    cfg = CrawlConfig(max_pages=10, comprehensive=False)
+    assert_parity(*run_both(spark, corpus, cfg))
+
+
+def test_comprehensive_mode_parity(spark):
+    # comprehensive: depth 5, threshold 0.0, no slice, mid-depth budget cut
+    corpus = generate_corpus(seed=11, n_hosts=1, pages_per_host=35)
+    cfg = CrawlConfig(max_pages=6, comprehensive=True)
+    assert_parity(*run_both(spark, corpus, cfg))
+
+
+def test_multi_seed_merged_frontier(spark):
+    corpus = generate_corpus(seed=13, n_hosts=3, pages_per_host=20)
+    cfg = CrawlConfig(max_pages=15)
+    assert_parity(*run_both(spark, corpus, cfg))
+
+
+def test_robots_and_host_caps(spark):
+    corpus = generate_corpus(seed=17, n_hosts=2, pages_per_host=25)
+    caps = {h: c for h, _r, c, _d in corpus.host_policies}
+    cfg = CrawlConfig(max_pages=12, enforce_robots=True, host_caps=caps)
+    oracle_res, engine_pages, engine_seen = run_both(spark, corpus, cfg)
+    assert_parity(oracle_res, engine_pages, engine_seen)
+    # robots actually bit: no crawled page under a disallowed prefix
+    assert not any("/signup" in p["url"] or "/search" in p["url"] for p in engine_pages)
+
+
+def test_bloom_off_equals_on(spark):
+    corpus = generate_corpus(seed=19, n_hosts=1, pages_per_host=30)
+    cfg = CrawlConfig(max_pages=10)
+    _, pages_on, seen_on = run_both(spark, corpus, cfg, use_bloom=True)
+    _, pages_off, seen_off = run_both(spark, corpus, cfg, use_bloom=False)
+    assert seen_on == seen_off
+    assert pages_on == pages_off
+
+
+def test_failed_fetches_enter_seen(spark):
+    # quirk Q5: attempted-but-failed URLs are in seen, never retried
+    corpus = generate_corpus(seed=23, n_hosts=1, pages_per_host=30, p_fetch_fail=0.4)
+    cfg = CrawlConfig(max_pages=10)
+    oracle_res, engine_pages, engine_seen = run_both(spark, corpus, cfg)
+    assert_parity(oracle_res, engine_pages, engine_seen)
+    crawled_urls = {p["url"] for p in engine_pages}
+    assert engine_seen - crawled_urls, "expected some attempted-but-not-kept URLs in seen"

@@ -565,6 +565,33 @@ def categorize_entry(url: str, title: str, content_sample: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Interleaved spans (BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+
+#: Span kinds whose ``text`` participates in the reconstructed page content.
+TEXT_KINDS = ("heading", "text", "code", "list", "link")
+
+
+def spans_to_content_py(spans) -> str:
+    """Python twin of ``udfs.spans_to_content`` (native Column expr).
+
+    The reference carries one markdown ``content`` string per page
+    (crawler/web_crawler.py:107-111); our input shape is the interleaved span
+    sequence. Reconstruction: text-bearing spans, offset order, joined by
+    blank lines. ``spans`` items are dicts or (kind, text, media_ref, offset)
+    tuples.
+    """
+    items = []
+    for s in spans or ():
+        if isinstance(s, dict):
+            items.append((s["kind"], s.get("text") or "", s["offset"]))
+        else:
+            items.append((s[0], s[1] or "", s[3]))
+    items.sort(key=lambda t: t[2])
+    return "\n\n".join(text for kind, text, _ in items if kind in TEXT_KINDS and text)
+
+
+# ---------------------------------------------------------------------------
 # Misc shared helpers (engine-side, not reference-derived)
 # ---------------------------------------------------------------------------
 

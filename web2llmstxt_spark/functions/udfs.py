@@ -129,8 +129,8 @@ def host_bucket_udf(hosts: pd.Series, num_buckets: pd.Series) -> pd.Series:
 # Native-Column helpers (JVM-side, no Python at all)
 # ---------------------------------------------------------------------------
 
-#: Text-bearing span kinds: their ``text`` participates in page content.
-TEXT_KINDS = ("heading", "text", "code", "list", "link")
+#: Text-bearing span kinds (single source of truth in kernels).
+TEXT_KINDS = kernels.TEXT_KINDS
 
 
 def spans_sorted(spans_col):

@@ -1,0 +1,340 @@
+"""The BSP frontier crawler — the reference's BFS loop as Spark supersteps.
+
+Rebuilds v2 ``discover_all_links_first`` (llmsgen/crawler/web_crawler.py:
+169-249 (pyc), SURVEY.md §3-EP3) as a driver-side superstep loop where each
+depth is ONE declarative DataFrame job:
+
+    frontier ──left_anti(seen)──► score(pandas UDF) ──filter(>thr)──►
+    robots filter ──► per-host politeness cap (window) ──►
+    global priority order (score desc, url asc) ──► budget cut ──►
+    FETCH (join site_pages / pluggable fetcher) ──► quality filter wc>=50 ──►
+    emit pages + explode(out-links) ──► union into frontier; seen += attempted
+
+Parity contract: byte-identical pages (url/title/content/word_count/score/
+depth/phase), crawl ORDER (rank column) and final URL-seen set vs
+``oracle.crawl_oracle.crawl`` on the same corpus + config (quirks Q1/Q5/Q6/Q7
+and the comprehensive-mode mid-depth budget cut replicated — see oracle
+docstring).
+
+Scale design (10^10-URL frontier, north rule):
+- frontier & seen are hash-partitioned by host bucket; the anti-join
+  shuffles once on url and is preceded (optional) by the partition-local
+  Bloom pre-filter in ``operators/bloom.py`` which removes the vast majority
+  of already-seen URLs WITHOUT shuffling the full seen table.
+- the global priority order is a range-partitioned sort (Spark samples
+  boundaries; no driver collect); the budget cut uses ``limit`` (distributed
+  top-k) in normal mode and a running-success window in comprehensive mode.
+  The window is the only single-partition step and operates on the
+  already-budget-bounded candidate slice; for budgets beyond one partition
+  swap in the documented two-phase threshold selection.
+- the fetch is pluggable: in production a politeness-gated HTTP pandas UDF
+  (``HttpFetcher`` stub); in tests/bench the corpus join (``TableFetcher``,
+  candidate side broadcast — the site table scan is a simulation artifact,
+  not the design point).
+- per-superstep state (frontier/seen/pages/metrics) is written to parquet
+  snapshots (Iceberg-shaped layout) => resumable runs + truncated lineage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.parse
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType, StringType
+
+from ..functions import kernels, udfs
+from ..oracle.crawl_oracle import CrawlConfig
+from .bloom import bloom_prefilter
+
+
+@pandas_udf(StringType())
+def base_domain_udf(base_urls: pd.Series) -> pd.Series:
+    """urlparse(base_url).netloc — ref llmsgen/crawler/web_crawler.py:186 (pyc)."""
+    return base_urls.map(lambda u: urllib.parse.urlparse(u).netloc)
+
+
+def _robots_match_udf(rules_by_host: dict):
+    """Closure UDF: longest-prefix robots decision (same as oracle)."""
+
+    @pandas_udf(BooleanType())
+    def disallowed(urls: pd.Series) -> pd.Series:
+        from web2llmstxt_spark.oracle.crawl_oracle import robots_disallowed
+
+        return urls.map(lambda u: robots_disallowed(u, rules_by_host))
+
+    return disallowed
+
+
+class TableFetcher:
+    """Fetch simulation: join the attempt set with the site_pages corpus on
+    canonical URL. The reference's ``crawler.arun`` (crawler/web_crawler.py:
+    93-103) becomes a broadcast join of the (small) per-superstep attempt set
+    against the corpus."""
+
+    def __init__(self, site_pages: DataFrame):
+        self.site = site_pages
+
+    def fetch(self, cand: DataFrame) -> DataFrame:
+        """cand(url, ...) -> cand + (found, success, title, content, wc, out_links).
+
+        Left join preserving the attempt set; the per-superstep attempt set is
+        the small side, the corpus the big one — AQE converts this to a
+        broadcast of whichever side is actually small at runtime. (In
+        production fetch is HTTP via mapInPandas; this join only exists in the
+        simulator, so its scan cost is not the scale design point.)
+        """
+        site = self.site.select(
+            "url", "title", "spans", "out_links", "fetch_ok"
+        ).withColumn("found", F.lit(True))
+        joined = cand.join(site, "url", "left")
+        return (
+            joined.withColumn("found", F.coalesce(F.col("found"), F.lit(False)))
+            .withColumn(
+                "content",
+                F.when(F.col("found"), udfs.spans_to_content(F.col("spans"))).otherwise(F.lit(None)),
+            )
+            .withColumn(
+                "wc",
+                F.when(F.col("found"), udfs.native_word_count(F.col("content"))).otherwise(F.lit(0)),
+            )
+            .withColumn("success", F.col("found") & F.coalesce(F.col("fetch_ok"), F.lit(False)))
+        )
+
+
+class HttpFetcher:
+    """Production fetch path: per-partition HTTP via mapInPandas with
+    UDF-internal retry (ref T5 urllib3 Retry, crawler/web_crawler.py:832-839)
+    and per-host pacing. Network is unavailable in this sandbox — the
+    transport is a stub; the Spark-side plumbing (batch shape, schema,
+    politeness gating upstream) is the real design."""
+
+    def fetch(self, cand: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError(
+            "HTTP transport unavailable in sandbox; use TableFetcher. "
+            "Production: cand.mapInPandas(fetch_batch, schema) with "
+            "requests.Session + Retry(total=3, backoff_factor=1, "
+            "status_forcelist=[429,500,502,503,504])."
+        )
+
+
+class FrontierCrawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        site_pages: DataFrame,
+        cfg: CrawlConfig,
+        robots_rules: list[tuple] | None = None,   # (host, agent, rule, prefix)
+        run_dir: str | None = None,
+        num_buckets: int = 32,
+        use_bloom: bool = True,
+        run_id: str = "run",
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.fetcher = TableFetcher(site_pages)
+        self.run_dir = run_dir
+        self.num_buckets = num_buckets
+        self.use_bloom = use_bloom
+        self.run_id = run_id
+        self.metrics: list[dict] = []
+        self.rules_by_host: dict = {}
+        if cfg.enforce_robots and robots_rules:
+            for host, _agent, rule, prefix in robots_rules:
+                self.rules_by_host.setdefault(host, []).append((rule, prefix))
+
+    # ------------------------------------------------------------------ utils
+    def _with_host(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        return df.withColumn("host", F.lower(F.parse_url(F.col(url_col), F.lit("HOST"))))
+
+    def _bucketed(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        """Host-hash partitioning (north rule): co-locates a host's URLs so
+        seen-filter state and politeness decisions are partition-local."""
+        df = self._with_host(df, url_col)
+        df = df.withColumn("bucket", udfs.host_bucket_udf(F.col("host"), F.lit(self.num_buckets)))
+        return df.repartition(self.num_buckets, "bucket")
+
+    def _snapshot(self, df: DataFrame, name: str, superstep: int) -> DataFrame:
+        """Parquet snapshot per superstep: resumable state + truncated lineage
+        (the Iceberg-table pattern; parquet layout keeps the sandbox
+        dependency-free — see state/checkpoint.py)."""
+        if self.run_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = os.path.join(self.run_dir, f"superstep={superstep}", name)
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    # ------------------------------------------------------------------ crawl
+    def crawl(self, seeds: list[tuple[int, str]]):
+        """Run the full BFS; returns (pages_df ordered by rank, seen_df)."""
+        spark = self.spark
+        cfg = self.cfg
+        budget = cfg.effective_safety_limit
+
+        seeds_df = spark.createDataFrame(
+            [(sid, url) for sid, url in seeds], "seed_id int, base_url string"
+        ).withColumn("base_domain", base_domain_udf(F.col("base_url")))
+        seeds_df = seeds_df.withColumn("url", udfs.normalize_url_udf(F.col("base_url")))
+
+        # --- depth 0: main pages (ref :196-206 (pyc); score 10.0, no wc gate)
+        fetched0 = self.fetcher.fetch(seeds_df)
+        main = (
+            fetched0.filter(F.col("success"))
+            .withColumn("title2", udfs.extract_title_udf(F.col("title"), F.col("content"), F.col("url")))
+            .withColumn("score", F.lit(10.0))
+            .withColumn("depth", F.lit(0))
+            .withColumn("discovery_phase", F.lit("main_page"))
+            .withColumn("rank", F.row_number().over(Window.orderBy("seed_id")))
+        )
+        pages_cols = [
+            "url",
+            F.col("title2").alias("title"),
+            "content",
+            F.col("wc").alias("word_count"),
+            "score",
+            "depth",
+            "discovery_phase",
+            "seed_id",
+            F.col("rank").cast("long").alias("rank"),
+        ]
+        pages = self._snapshot(main.select(*pages_cols), "pages", 0)
+        pages_count = pages.count()
+        all_pages = [pages]
+
+        seen = self._snapshot(pages.select("url"), "seen", 0)
+        frontier = self._new_links(main, from_depth=0)
+        frontier = self._snapshot(frontier, "frontier", 0)
+
+        # --- supersteps (ref :211-246 (pyc)) --------------------------------
+        for depth in range(1, cfg.depth_limit + 1):
+            if pages_count >= budget:                      # :212
+                break
+            t0 = time.time()
+            remaining = budget - pages_count
+
+            if self.use_bloom:
+                # Bloom fast path + exact check on maybes == exact anti-join
+                cand = bloom_prefilter(frontier, seen, self.num_buckets)
+            else:
+                cand = frontier.join(seen, "url", "left_anti")  # J1 exact
+
+            cand = cand.withColumn("score", udfs.score_url_udf(F.col("url"), F.col("base_url")))
+            cand = cand.filter(F.col("score") > F.lit(cfg.score_threshold))  # :218
+            if cfg.enforce_robots and self.rules_by_host:
+                cand = cand.filter(~_robots_match_udf(self.rules_by_host)(F.col("url")))
+            if cfg.host_caps:
+                caps_df = spark.createDataFrame(
+                    list(cfg.host_caps.items()), "host string, cap int"
+                )
+                cand = self._with_host(cand)
+                w_host = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("url"))
+                cand = (
+                    cand.join(F.broadcast(caps_df), "host", "left")
+                    .withColumn("hrank", F.row_number().over(w_host))
+                    .filter(F.col("cap").isNull() | (F.col("hrank") <= F.col("cap")))
+                    .drop("cap", "hrank", "host")
+                )
+
+            order = (F.desc("score"), F.asc("url"))        # canonical Q1 tie-break
+            if cfg.comprehensive:
+                # no slice (:220); budget bites mid-depth (:227): a candidate
+                # is ATTEMPTED iff fewer than `remaining` successes precede it
+                fetched = self.fetcher.fetch(cand)
+                w = Window.orderBy(*order)
+                appended = F.col("success") & (F.col("wc") >= 50)
+                fetched = fetched.withColumn(
+                    "cum_before",
+                    F.coalesce(
+                        F.sum(appended.cast("long")).over(
+                            w.rowsBetween(Window.unboundedPreceding, -1)
+                        ),
+                        F.lit(0),
+                    ),
+                )
+                attempted = fetched.filter(F.col("cum_before") < remaining).drop("cum_before")
+            else:
+                todo = cand.orderBy(*order).limit(remaining)  # :220 slice
+                attempted = self.fetcher.fetch(todo)
+            attempted = attempted.persist()
+            attempted_count = attempted.count()
+            if attempted_count == 0:                       # :216/:221
+                attempted.unpersist()
+                break
+
+            new_pages = (
+                attempted.filter(F.col("success") & (F.col("wc") >= 50))  # :237
+                .withColumn("title2", udfs.extract_title_udf(F.col("title"), F.col("content"), F.col("url")))
+                .withColumn("depth", F.lit(depth))
+                .withColumn("discovery_phase", F.lit(f"depth_{depth}"))
+                .withColumn(
+                    "rank",
+                    F.row_number().over(Window.orderBy(*order)) + F.lit(pages_count),
+                )
+            )
+            new_pages = self._snapshot(new_pages.select(*pages_cols), "pages", depth)
+            added = new_pages.count()
+            all_pages.append(new_pages)
+
+            seen = self._snapshot(                        # Q5: seen on attempt
+                seen.unionByName(attempted.select("url")).dropDuplicates(["url"]),
+                "seen",
+                depth,
+            )
+            pages_count += added
+
+            if depth < cfg.depth_limit:                   # Q7: last depth no expand
+                links = self._new_links(
+                    new_pages.select("url").join(
+                        attempted.select("url", "out_links", "seed_id", "base_url", "base_domain"),
+                        "url",
+                    ),
+                    from_depth=depth,
+                )
+                # Q6: union AFTER the depth; first-discovery ctx wins
+                fresh = links.join(frontier, "url", "left_anti")
+                frontier = self._snapshot(
+                    frontier.unionByName(fresh), "frontier", depth
+                )
+            attempted.unpersist()
+            self.metrics.append(
+                {
+                    "run_id": self.run_id,
+                    "superstep": depth,
+                    "attempted": attempted_count,
+                    "pages_kept": added,
+                    "pages_total": pages_count,
+                    "wall_ms": int((time.time() - t0) * 1000),
+                }
+            )
+            if self.run_dir is not None:
+                with open(os.path.join(self.run_dir, f"superstep={depth}", "metrics.json"), "w") as f:
+                    json.dump(self.metrics[-1], f)
+
+        result = all_pages[0]
+        for df in all_pages[1:]:
+            result = result.unionByName(df)
+        return result.orderBy("rank"), seen
+
+    # ------------------------------------------------------------- link expand
+    def _new_links(self, pages_with_links: DataFrame, from_depth: int) -> DataFrame:
+        """explode(extract_links) + per-url first-context dedup (min seed_id)."""
+        links = pages_with_links.select(
+            F.explode(
+                udfs.extract_links_udf(
+                    F.col("out_links"), F.col("base_url"), F.col("base_domain")
+                )
+            ).alias("url"),
+            "seed_id",
+            "base_url",
+            "base_domain",
+        )
+        return (
+            links.groupBy("url")
+            .agg(F.min(F.struct("seed_id", "base_url", "base_domain")).alias("ctx"))
+            .select("url", "ctx.seed_id", "ctx.base_url", "ctx.base_domain")
+        )
