@@ -1,0 +1,70 @@
+"""The distill stage: crawled pages -> described, categorized llms entries.
+
+Reference: ``process_urls_in_batches`` + ``generate_llmstxt``
+(llmsgen/generator/llms_generator.py:87-134, 138-209 (pyc)). The reference
+fans pages over a ThreadPoolExecutor and calls an LLM per page (X1/D5); the
+shipped v2 build hardwires the deterministic fallback
+(``create_smart_fallback_description``) — so the Spark translation is one
+vectorized pandas-UDF projection, no task queue needed. The AI path would be
+the same projection with an HTTP-calling pandas UDF (out of scope: network).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import udfs
+
+#: v2 full-text-only placeholder (llmsgen/generator/llms_generator.py:190 (pyc))
+FULL_TEXT_ONLY_DESC = "N/A (full_text_only mode)"
+
+
+def describe_pages(pages: DataFrame, full_text_only: bool = False) -> DataFrame:
+    """pages -> llms entries (url, title, description, word_count, index).
+
+    ``index`` preserves crawl order (the reference builds entries in page
+    order; entry ``index`` field, llmsgen/generator/llms_generator.py:115
+    (pyc)).
+    """
+    if full_text_only:
+        desc = F.lit(FULL_TEXT_ONLY_DESC)
+    else:
+        desc = udfs.describe_udf(F.col("title"), F.col("content"), F.col("url"))
+    return pages.select(
+        "url",
+        "title",
+        desc.alias("description"),
+        "word_count",
+        F.col("rank").alias("index"),
+    )
+
+
+def categorize_entries(entries: DataFrame, pages: DataFrame) -> DataFrame:
+    """Attach the llms.txt section (G1) using the page content sample.
+
+    Reference joins entries to a url->content map
+    (llmsgen/utils/file_utils.py:122-123); here it's a broadcast join on url.
+    """
+    content_map = pages.select("url", F.col("content").alias("page_content"))
+    joined = entries.join(F.broadcast(content_map), "url", "left")
+    return joined.withColumn(
+        "category",
+        udfs.categorize_udf(F.col("url"), F.col("title"), F.col("page_content")),
+    ).drop("page_content")
+
+
+def depth_histogram(pages: DataFrame) -> DataFrame:
+    """A1: pages-per-depth analytics (crawler/web_crawler.py:299,337,358)."""
+    return pages.groupBy("depth").count().orderBy("depth")
+
+
+def crawl_stats(pages: DataFrame) -> DataFrame:
+    """A2/A5: avg score, word totals (crawler/web_crawler.py:353-358;
+    generator/llms_generator.py:759-761)."""
+    return pages.agg(
+        F.count("*").alias("pages"),
+        F.avg("score").alias("avg_score"),
+        F.sum("word_count").alias("total_words"),
+        F.avg("word_count").alias("avg_words"),
+    )

@@ -1,0 +1,96 @@
+"""End-to-end pipeline: seeds -> crawl -> distill -> sinks (EP2).
+
+Mirrors v2 ``generate_llmstxt`` (llmsgen/generator/llms_generator.py:138-209
+(pyc), SURVEY.md §3-EP2): budget derivation, systematic-crawl plan select,
+describe, 15-key run metadata, output dispatch.
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import kernels
+from ..oracle.crawl_oracle import CrawlConfig
+from ..operators.frontier import FrontierCrawler
+from ..sinks import writers
+from . import distill
+
+
+def generate_llmstxt(
+    spark: SparkSession,
+    site_pages: DataFrame,
+    base_url: str,
+    output_dir: str,
+    max_pages: int = 50,
+    export_format: str = "text",
+    include_full_text: bool = False,
+    max_full_text_pages: int | None = None,
+    full_text_only: bool = False,
+    safety_limit: int | None = None,
+    robots_rules: list | None = None,
+    enforce_robots: bool = False,
+    host_caps: dict | None = None,
+    run_dir: str | None = None,
+    generated_at: str | None = None,
+    seeds: list[tuple[int, str]] | None = None,
+) -> dict:
+    """Returns {'paths': [...], 'metadata': {...}, 'entries': [...], 'pages': [...]}."""
+    start = time.time()
+    # ref :169 (pyc): 3x page budget when full text requested
+    actual_max_pages = max_pages * 3 if (full_text_only or include_full_text) else max_pages
+    # ref :173 (pyc): systematic safety limit
+    calculated_safety_limit = safety_limit or actual_max_pages * (10 if full_text_only else 5)
+    comprehensive = full_text_only or include_full_text  # ref :175 (pyc)
+
+    cfg = CrawlConfig(
+        max_pages=actual_max_pages,
+        comprehensive=comprehensive,
+        safety_limit=calculated_safety_limit,
+        enforce_robots=enforce_robots,
+        host_caps=host_caps,
+    )
+    crawler = FrontierCrawler(
+        spark, site_pages, cfg, robots_rules=robots_rules, run_dir=run_dir, use_bloom=True
+    )
+    pages_df, _seen = crawler.crawl(seeds or [(0, base_url)])
+    pages_df = pages_df.persist()
+
+    entries_df = distill.describe_pages(pages_df, full_text_only=full_text_only)
+    entries_df = distill.categorize_entries(entries_df, pages_df)
+
+    pages = [r.asDict() for r in pages_df.orderBy("rank").collect()]
+    entries = [r.asDict() for r in entries_df.orderBy("index").collect()]
+    pages_df.unpersist()
+
+    generated_at = generated_at or datetime.now(timezone.utc).isoformat()
+    metadata = {  # 15 keys, ref llmsgen/generator/llms_generator.py:194 (pyc)
+        "source_url": base_url,
+        "domain": kernels.extract_domain_from_url(base_url),
+        "total_pages_crawled": len(pages),
+        "total_entries_processed": len(entries),
+        "generated_at": generated_at,
+        "model_used": "deterministic-fallback",
+        "model_display_name": "Deterministic fallback (v2 testing mode)",
+        "export_format": export_format,
+        "processing_time_seconds": round(time.time() - start, 2),
+        "batch_size": None,
+        "parallel_workers": None,
+        "max_full_text_pages": max_full_text_pages,
+        "full_text_only_mode": full_text_only,
+        "crawl_strategy_used": "systematic",
+        "include_full_text": include_full_text,
+    }
+    paths = writers.write_output_files(
+        output_dir,
+        base_url,
+        entries,
+        pages,
+        metadata,
+        export_format,
+        include_full_text,
+        full_text_only,
+    )
+    return {"paths": paths, "metadata": metadata, "entries": entries, "pages": pages}
