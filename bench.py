@@ -1,0 +1,107 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also times one end-to-end frontier crawl over a seeded synthetic web
+(reported as the "crawl" query + "urls_per_sec" extra field — the north-rule
+throughput figure). Scaling evidence (N vs 4N cores) lives in
+scripts/bench_scaling.py -> BENCH_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from web2llmstxt_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "frontier_topk",
+    "pricing_summary",
+    "join_enrich",
+    "seen_antijoin",
+    "dedup_exact",
+    "minhash",
+    "lsh_pairs",
+    "quality_scores",
+    "fingerprints",
+    "events_window",
+    "ann_topk",
+    "categorize",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_crawl_bench(spark, n_hosts=12, pages_per_host=120, max_pages=150) -> tuple[float, int]:
+    """One frontier crawl over a synthetic web; returns (sec, urls_attempted)."""
+    from web2llmstxt_spark import schemas
+    from web2llmstxt_spark.oracle.crawl_oracle import CrawlConfig
+    from web2llmstxt_spark.operators.frontier import FrontierCrawler
+    from web2llmstxt_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(seed=42, n_hosts=n_hosts, pages_per_host=pages_per_host,
+                             skew_factor=3)
+    site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES)
+    site = site.repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).cache()
+    site.count()
+    cfg = CrawlConfig(max_pages=max_pages)
+    seeds = [(sid, url) for sid, url, _ in corpus.seeds]
+    t0 = time.time()
+    crawler = FrontierCrawler(spark, site, cfg, use_bloom=True, run_dir=None)
+    pages, seen = crawler.crawl(seeds)
+    n_pages = pages.count()
+    n_seen = seen.count()
+    dt = time.time() - t0
+    assert n_pages > 0
+    return dt, n_seen
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench", cores=cores)
+
+    from web2llmstxt_spark.plans.queries import REGISTRY
+
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once
+    materialize(REGISTRY["pricing_summary"][0](spark, sf_dir))
+
+    for name in HEADLINE:
+        build = REGISTRY[name][0]
+        t0 = time.time()
+        materialize(build(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    crawl_sec, urls = run_crawl_bench(spark)
+    timings["crawl"] = round(crawl_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "urls_per_sec": round(urls / crawl_sec, 2),
+                "cores": cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Driver-style correctness check: every registry query vs its DuckDB oracle.
+
+Replicates the driver's comparison (row count + column names + order-
+insensitive value multiset) at sf0.01 so CORRECTNESS_r{N}.json holds no
+surprises.
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from web2llmstxt_spark.plans.queries import REGISTRY
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+                if v == -0.0:
+                    v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+ORACLE_CASES = sorted(name for name, (_, sql) in REGISTRY.items() if sql is not None)
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_query_matches_oracle(spark, ddb, name):
+    build, sql_fn = REGISTRY[name]
+    sdf = build(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    ddf = ddb.execute(sql_fn()).fetchdf()
+    dcols = list(ddf.columns)
+    drows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    a, b = normalize(srows, scols), normalize(drows, dcols)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y][:5]
+    assert a == b, f"{name}: value mismatch, first diffs {mismatches}"
+
+
+def test_rows_only_queries_run(spark):
+    for name, (build, sql) in REGISTRY.items():
+        if sql is None:
+            df = build(spark, SF_DIR)
+            assert df.count() >= 0 and len(df.columns) > 0, name
+
+
+def test_ann_approx_recall_vs_exact(spark):
+    """Approximate paths must agree with brute force on most of top-10."""
+    from web2llmstxt_spark.plans.queries import q_ann_ivf, q_ann_lsh, q_ann_topk
+
+    exact = {r.vec_id for r in q_ann_topk(spark, SF_DIR).collect()}
+    ivf = {r.vec_id for r in q_ann_ivf(spark, SF_DIR).collect()}
+    assert len(exact & ivf) >= 6, (exact, ivf)
+    lsh = {r.vec_id for r in q_ann_lsh(spark, SF_DIR).collect()}
+    assert len(exact & lsh) >= 2, (exact, lsh)  # coarser; documented approx

@@ -1,0 +1,155 @@
+"""Native Column-expression twins of the hot-path kernels.
+
+These stay entirely JVM-side (whole-stage codegen, no Python boundary) — the
+fast path for bulk scoring/categorization at 100 TB. Parity with the
+pure-Python kernels is enforced by tests/test_native_parity.py; the pandas
+UDFs remain the bit-exactness reference for the crawl-order gate.
+
+Caveats (documented deviations, covered by parity tests on our URL corpora):
+- ``str.isalpha`` is replicated as ``^[A-Za-z]+$`` (ASCII); the reference
+  would also accept non-ASCII letters.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import and_, or_
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from . import kernels
+
+
+def _contains_any(col: Column, needles) -> Column:
+    return reduce(or_, [col.contains(F.lit(k)) for k in needles])
+
+
+def score_url_native(url: Column, base_url: Column) -> Column:
+    """Column-algebra twin of kernels.score_url_importance (C1).
+
+    Ref: llmsgen/crawler/web_crawler.py:147-167 (pyc).
+    """
+    ul = F.lower(url)
+    is_asset = reduce(or_, [ul.endswith(F.lit(e)) for e in kernels.ASSET_EXTENSIONS])
+
+    kw = (
+        F.when(_contains_any(ul, kernels.HIGH_VALUE_KEYWORDS), F.lit(3.0))
+        .when(_contains_any(ul, kernels.MEDIUM_VALUE_KEYWORDS), F.lit(1.5))
+        .otherwise(F.lit(0.0))
+    )
+    low = F.when(_contains_any(ul, kernels.LOW_VALUE_KEYWORDS), F.lit(-5.0)).otherwise(F.lit(0.0))
+
+    path = F.regexp_replace(F.replace(url, base_url, F.lit("")), r"^/+|/+$", "")
+    segs = F.split(path, "/")
+    n = F.size(segs)
+    second_empty = (n == 2) & (F.get(segs, 1) == F.lit(""))
+    seg_tier = (
+        F.when((n <= 1) | second_empty, F.lit(2.0))
+        .when(n <= 2, F.lit(1.5))
+        .when(n > 4, F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+    )
+    alpha = F.when(
+        F.exists(segs, lambda s: (F.length(s) > 3) & s.rlike("^[A-Za-z]+$")),
+        F.lit(1.0),
+    ).otherwise(F.lit(0.0))
+
+    page_pen = F.when(
+        url.contains("?page=") | url.contains("&page=") | url.contains("/page/"),
+        F.lit(-3.0),
+    ).otherwise(F.lit(0.0))
+    after_q = F.get(F.split(url, r"\?", 2), 1)
+    query_pen = F.when(
+        url.contains("?") & (F.length(after_q) > 10), F.lit(-2.0)
+    ).otherwise(F.lit(0.0))
+
+    score = F.lit(1.0) + kw + low + seg_tier + alpha + page_pen + query_pen
+    return F.when(is_asset, F.lit(0.0)).otherwise(F.greatest(F.lit(0.1), score))
+
+
+def categorize_native(url: Column, title: Column, content: Column) -> Column:
+    """Column-algebra twin of kernels.categorize_entry (G1).
+
+    Ref: llmsgen/utils/text_utils.py:265-302.
+    """
+    ul = F.lower(F.coalesce(url, F.lit("")))
+    tl = F.lower(F.coalesce(title, F.lit("")))
+    cl = F.lower(F.substring(F.coalesce(content, F.lit("")), 1, 300))
+
+    def hit(keys, include_content=True):
+        hays = [ul, tl, cl] if include_content else [ul, tl]
+        return reduce(or_, [h.contains(F.lit(k)) for k in keys for h in hays])
+
+    return (
+        F.when(hit(["/api", "/reference", "api docs", "developer."]), "API & Technical Reference")
+        .when(hit(["/docs", "/documentation", "readme", "manual"]), "Key Documentation")
+        .when(hit(["/guide", "/tutorial", "how-to", "learn", "getting-started"]), "Guides & Tutorials")
+        .when(hit(["/product", "/service", "/feature", "pricing", "plans", "tool"]), "Products & Services")
+        .when(hit(["/blog", "/news", "/article", "/resource"]), "Blog & Resources")
+        .when(hit(["about", "contact", "company", "team", "mission"], include_content=False), "General Information")
+        .when(_contains_any(ul, ["?page=", "/page/", "/compare", "/vs", "tag/", "category/"]), "Other Pages")
+        .otherwise(F.lit("General Information"))
+    )
+
+
+# ------------------------------------------------------------------ SQL twins
+# DuckDB translations for the driver's oracle (ANSI-ish SQL). The scorer SQL
+# replicates C1 branch-for-branch so the oracle check covers the real
+# operator, not a toy.
+
+def _sql_contains_any(expr: str, needles) -> str:
+    return "(" + " OR ".join(f"contains({expr}, '{k}')" for k in needles) + ")"
+
+
+def score_url_sql(url_expr: str, base_url_literal: str) -> str:
+    """DuckDB SQL expression computing kernels.score_url_importance(url, base)."""
+    ul = f"lower({url_expr})"
+    asset = "(" + " OR ".join(f"{ul} LIKE '%{e}'" for e in kernels.ASSET_EXTENSIONS) + ")"
+    high = _sql_contains_any(ul, kernels.HIGH_VALUE_KEYWORDS)
+    med = _sql_contains_any(ul, kernels.MEDIUM_VALUE_KEYWORDS)
+    low = _sql_contains_any(ul, kernels.LOW_VALUE_KEYWORDS)
+    segs = f"string_split(trim(replace({url_expr}, '{base_url_literal}', ''), '/'), '/')"
+    n = f"len({segs})"
+    second_empty = f"({n} = 2 AND {segs}[2] = '')"
+    alpha = f"(len(list_filter({segs}, s -> len(s) > 3 AND regexp_full_match(s, '[A-Za-z]+'))) > 0)"
+    page = (
+        f"(contains({url_expr}, '?page=') OR contains({url_expr}, '&page=')"
+        f" OR contains({url_expr}, '/page/'))"
+    )
+    after_q = f"string_split({url_expr}, '?')[2]"
+    query_pen = f"(contains({url_expr}, '?') AND len({after_q}) > 10)"
+    score = (
+        f"1.0 + (CASE WHEN {high} THEN 3.0 WHEN {med} THEN 1.5 ELSE 0.0 END)"
+        f" + (CASE WHEN {low} THEN -5.0 ELSE 0.0 END)"
+        f" + (CASE WHEN ({n} <= 1 OR {second_empty}) THEN 2.0"
+        f"      WHEN {n} <= 2 THEN 1.5 WHEN {n} > 4 THEN -1.0 ELSE 0.0 END)"
+        f" + (CASE WHEN {alpha} THEN 1.0 ELSE 0.0 END)"
+        f" + (CASE WHEN {page} THEN -3.0 ELSE 0.0 END)"
+        f" + (CASE WHEN {query_pen} THEN -2.0 ELSE 0.0 END)"
+    )
+    return f"(CASE WHEN {asset} THEN 0.0 ELSE greatest(0.1, {score}) END)"
+
+
+def categorize_sql(url_expr: str, title_expr: str, content_expr: str) -> str:
+    """DuckDB SQL expression computing kernels.categorize_entry."""
+    ul = f"lower(coalesce({url_expr}, ''))"
+    tl = f"lower(coalesce({title_expr}, ''))"
+    cl = f"lower(substr(coalesce({content_expr}, ''), 1, 300))"
+
+    def hit(keys, include_content=True):
+        hays = [ul, tl, cl] if include_content else [ul, tl]
+        return "(" + " OR ".join(f"contains({h}, '{k}')" for k in keys for h in hays) + ")"
+
+    other = _sql_contains_any(ul, ["?page=", "/page/", "/compare", "/vs", "tag/", "category/"])
+    return (
+        "(CASE "
+        f"WHEN {hit(['/api', '/reference', 'api docs', 'developer.'])} THEN 'API & Technical Reference' "
+        f"WHEN {hit(['/docs', '/documentation', 'readme', 'manual'])} THEN 'Key Documentation' "
+        f"WHEN {hit(['/guide', '/tutorial', 'how-to', 'learn', 'getting-started'])} THEN 'Guides & Tutorials' "
+        f"WHEN {hit(['/product', '/service', '/feature', 'pricing', 'plans', 'tool'])} THEN 'Products & Services' "
+        f"WHEN {hit(['/blog', '/news', '/article', '/resource'])} THEN 'Blog & Resources' "
+        f"WHEN {hit(['about', 'contact', 'company', 'team', 'mission'], False)} THEN 'General Information' "
+        f"WHEN {other} THEN 'Other Pages' "
+        "ELSE 'General Information' END)"
+    )

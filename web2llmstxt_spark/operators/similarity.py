@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (engine extension).
+
+Brute-force cosine top-k as the correctness baseline; LSH (random
+hyperplanes, deterministic md5-seeded) bucketing as the scale path. All
+vector math is native Column algebra (``zip_with``/``aggregate``) — stays in
+the JVM; no Python per row.
+
+Scale notes: brute-force is a broadcast of the query vector + one pass + a
+distributed top-k (``orderBy().limit(k)`` = per-partition partial top-k
+merged on the driver — k rows, not the data). The LSH path buckets vectors
+by sign-pattern so candidate generation is a groupBy, and only candidates
+pay the exact cosine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_sim(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k against one query vector.
+
+    Output: (id_col, sim) ordered sim desc, id asc.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(F.col(id_col), cosine_sim(F.col(vec_col), q).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 (engine-portable)."""
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{p}:{d}".encode()).digest()
+            u = int.from_bytes(h[:8], "big") / float(1 << 64)  # [0,1)
+            # Box-Muller-ish light tail is unnecessary; uniform(-1,1) suffices
+            vals.append(2.0 * u - 1.0)
+        planes.append(vals)
+    return planes
+
+
+def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 16,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Sign-pattern LSH bucket id per vector. Output: (id, bucket:long)."""
+    planes = hyperplanes(dim, n_planes)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot(F.col(vec_col), p) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + F.shiftleft(bit, i)
+    return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: only score vectors whose LSH bucket is within
+    ``probe_hamming`` bits of the query's bucket (multi-probe)."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes)
+    qbits = 0
+    for i, plane in enumerate(planes):
+        dot = sum(a * b for a, b in zip(query_vec, plane))
+        if dot >= 0:
+            qbits |= 1 << i
+    probes = {qbits}
+    if probe_hamming >= 1:
+        for i in range(n_planes):
+            probes.add(qbits ^ (1 << i))
+    if probe_hamming >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qbits ^ (1 << i) ^ (1 << j))
+
+    buckets = lsh_bucket(df, dim, n_planes, vec_col, id_col)
+    cand = buckets.filter(F.col("bucket").isin([int(b) for b in probes])).select(id_col)
+    sub = df.join(cand, id_col, "left_semi")
+    return cosine_topk(sub, query_vec, k, vec_col, id_col)
+
+
+def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    ``centroids`` is a small driver-side list [(cid, vec)] — broadcast as a
+    literal array; assignment = argmax cosine via max_by, one pass, no
+    shuffle. Output: (id, cid).
+    """
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in centroids],
+        f"cid int, cvec array<double>",
+    )
+    crossed = df.select(id_col, vec_col).crossJoin(F.broadcast(cent_df))
+    sims = crossed.select(
+        id_col, "cid", cosine_sim(F.col(vec_col), F.col("cvec")).alias("csim")
+    )
+    return sims.groupBy(id_col).agg(F.max_by("cid", F.struct("csim", (-F.col("cid")).alias("t"))).alias("cid"))
+
+
+def ivf_centroids(df: DataFrame, nlist: int = 16, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
+    """Deterministic centroid pick: the nlist lowest-id vectors (a fixed
+    sample; production would run k-means refinement over these seeds)."""
+    rows = df.orderBy(id_col).limit(nlist).collect()
+    return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the nprobe centroid lists nearest the
+    query, exact cosine only within them. The scale path for ANN: assignment
+    is precomputed/bucketed once, each query touches ~nprobe/nlist of data."""
+    if centroids is None:
+        centroids = ivf_centroids(df, nlist, vec_col, id_col)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    probe_cids = [
+        cid for cid, _ in sorted(centroids, key=lambda c: -cos(c[1], query_vec))[:nprobe]
+    ]
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    cand_ids = assigned.filter(F.col("cid").isin(probe_cids)).select(id_col)
+    sub = df.join(cand_ids, id_col, "left_semi")
+    return cosine_topk(sub, query_vec, k, vec_col, id_col)
+
+
+def pairwise_topk_per_vector(df: DataFrame, k: int = 5, vec_col: str = "embedding",
+                             id_col: str = "vec_id", max_rows: int = 2000) -> DataFrame:
+    """All-pairs KNN for small fan-in (block nested loop via crossJoin of a
+    broadcast sample). Guard-railed: refuses beyond max_rows (use LSH path)."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(f"pairwise KNN is O(n^2); {n} rows > {max_rows}. Use lsh_topk.")
+    left = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    right = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = left.join(F.broadcast(right), F.col("a") != F.col("b"))
+    sims = pairs.select("a", "b", cosine_sim(F.col("va"), F.col("vb")).alias("sim"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a").orderBy(F.desc("sim"), F.asc("b"))
+    return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")

@@ -1,0 +1,119 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. Engine extensions for training-data pipelines; all
+Column algebra (JVM) except the BPE-ish tokenizer which is a regexp and the
+language-ID heuristic (native array ops over per-language stopword sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: tiny per-language function-word lists for the n-gram/stopword language-ID
+#: heuristic (public-knowledge closed-class words; good enough for routing)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "una"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def whitespace_tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """A BPE-style pre-tokenization: word pieces + punctuation as tokens
+    (regexp split keeping punctuation boundaries — the GPT-2 pretoken shape)."""
+    return F.filter(
+        F.split(text, r"(?=[\s.,!?;:()\[\]{}\"'])|(?<=[\s.,!?;:()\[\]{}\"'])"),
+        lambda t: (t != F.lit("")) & (~t.rlike(r"^\s+$")),
+    )
+
+
+def token_count(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: length band, punctuation
+    ratio, mean word length band. Cross-engine exact (same arithmetic in the
+    DuckDB oracle)."""
+    t = F.coalesce(text, F.lit(""))
+    n_chars = F.length(t)
+    n_tokens = token_count(t).cast("double")
+    punct = (n_chars - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))).cast("double")
+    punct_ratio = F.when(n_chars > 0, punct / n_chars.cast("double")).otherwise(F.lit(0.0))
+    mean_word = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    len_band = F.when((n_tokens >= 20) & (n_tokens <= 1000), F.lit(0.5)).otherwise(F.lit(0.0))
+    punct_band = F.when(punct_ratio <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+    word_band = F.when((mean_word >= 3.0) & (mean_word <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+    return len_band + punct_band + word_band
+
+
+def quality_score_sql(text_expr: str) -> str:
+    """DuckDB twin of quality_score."""
+    t = f"coalesce({text_expr}, '')"
+    n_chars = f"len({t})"
+    n_tokens = f"(CASE WHEN len(trim({t})) = 0 THEN 0 ELSE len(string_split_regex(trim({t}), '\\s+')) END)"
+    punct = f"(len({t}) - len(regexp_replace({t}, '[.,!?;:]', '', 'g')))"
+    punct_ratio = f"(CASE WHEN {n_chars} > 0 THEN {punct}::DOUBLE / {n_chars} ELSE 0.0 END)"
+    mean_word = f"(CASE WHEN {n_tokens} > 0 THEN {n_chars}::DOUBLE / {n_tokens} ELSE 0.0 END)"
+    return (
+        f"((CASE WHEN {n_tokens} >= 20 AND {n_tokens} <= 1000 THEN 0.5 ELSE 0.0 END)"
+        f" + (CASE WHEN {punct_ratio} <= 0.1 THEN 0.25 ELSE 0.0 END)"
+        f" + (CASE WHEN {mean_word} >= 3.0 AND {mean_word} <= 12.0 THEN 0.25 ELSE 0.0 END))"
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    return F.md5(F.array_join(whitespace_tokens(text), " "))
+
+
+def fingerprint_sql(text_expr: str) -> str:
+    return f"md5(list_aggregate(string_split_regex(lower(trim({text_expr})), '\\s+'), 'string_agg', ' '))"
+
+
+def detect_language(text: Column) -> Column:
+    """Stopword-count language ID: argmax over per-language hit counts,
+    'und' when nothing matches. Deterministic ties: language name asc."""
+    toks = whitespace_tokens(text)
+    scored = []
+    for lang in sorted(LANG_STOPWORDS):
+        hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])))
+        scored.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # argmax: greatest by (hits, lang) — but prefer lang ASC on hit ties =>
+    # compare on (hits, negated-rank) via sort_array desc on (hits, revlang)
+    arr = F.array(*scored)
+    best = F.element_at(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    arr,
+                    lambda s: F.struct(
+                        s["hits"].alias("hits"),
+                        # lang asc wins ties after reverse => store reversed-order key
+                        (F.lit(-1) * F.ascii(F.substring(s["lang"], 1, 1))).alias("tie"),
+                        s["lang"].alias("lang"),
+                    ),
+                )
+            )
+        ),
+        1,
+    )
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-doc profile: tokens, quality, fingerprint, detected lang."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        F.round(quality_score(t), 4).alias("quality"),
+        fingerprint(t).alias("fp"),
+        detect_language(t).alias("lang_detected"),
+    )

@@ -1,0 +1,445 @@
+"""Driver-contract query registry: Spark builders + DuckDB oracle SQL.
+
+One entry per SQL-expressible operator from SURVEY.md §2 plus the
+training-data-pipeline extensions (dedup / similarity / text analysis).
+Each Spark builder takes (spark, sf_dir) and returns a DataFrame whose
+column NAMES and VALUES match its oracle SQL (DuckDB over the same parquet,
+views pre-registered by the driver).
+
+The crawl operators run over URL strings synthesized deterministically from
+the ``documents`` table (both sides use the identical expression), so the
+real C1 scorer / G1 categorizer / O-family sort semantics are exercised —
+not toys. Float outputs are either exactly representable (C1 scores, quality
+bands: sums of halves/quarters) or rounded at a safe precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import native
+from ..operators import dedup, similarity, textstats
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- synth URLs
+
+_LANG_SEG = {"en": "docs", "fr": "blog", "de": "login", "es": "download"}
+BASE_URL = "https://ex.example"
+
+
+def synth_url_col():
+    seg = F.when(F.col("lang") == "en", "docs")
+    for lang, s in list(_LANG_SEG.items())[1:]:
+        seg = seg.when(F.col("lang") == lang, s)
+    seg = seg.otherwise(F.lit("misc"))
+    first_word = F.get(F.split(F.col("text"), " "), 0)
+    base = F.concat(
+        F.lit(BASE_URL + "/"), seg, F.lit("/"), first_word, F.lit("-"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        F.when(F.col("doc_id") % 11 == 0, F.concat(base, F.lit("/logo.png")))
+        .when(F.col("doc_id") % 7 == 0, F.concat(base, F.lit("?page=2")))
+        .when(F.col("doc_id") % 5 == 0, F.concat(base, F.lit("?id=12345678901")))
+        .otherwise(base)
+    )
+
+
+SYNTH_URL_SQL = (
+    "(CASE WHEN doc_id % 11 = 0 THEN {b} || '/logo.png' "
+    "WHEN doc_id % 7 = 0 THEN {b} || '?page=2' "
+    "WHEN doc_id % 5 = 0 THEN {b} || '?id=12345678901' "
+    "ELSE {b} END)"
+).format(
+    b=(
+        "('" + BASE_URL + "/' || (CASE lang WHEN 'en' THEN 'docs' WHEN 'fr' THEN 'blog' "
+        "WHEN 'de' THEN 'login' WHEN 'es' THEN 'download' ELSE 'misc' END) || '/' "
+        "|| string_split(text, ' ')[1] || '-' || doc_id)"
+    )
+)
+
+SYNTH_TITLE_SQL = "('Doc ' || doc_id || ' ' || lang)"
+
+
+def synth_title_col():
+    return F.concat(F.lit("Doc "), F.col("doc_id").cast("string"), F.lit(" "), F.col("lang"))
+
+
+# ------------------------------------------------------------------- queries
+
+def q_frontier_topk(spark, sf_dir):
+    """O1/O2: C1 priority scoring -> sort desc -> budget limit (the frontier
+    ordering step as one declarative plan; native JVM scorer)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            synth_url_col().alias("url"),
+        )
+        .withColumn("score", native.score_url_native(F.col("url"), F.lit(BASE_URL)))
+        .filter(F.col("score") > 1.0)  # P8 threshold
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(100)
+    )
+
+
+def sql_frontier_topk():
+    score = native.score_url_sql("url", BASE_URL)
+    return f"""
+        WITH u AS (SELECT {SYNTH_URL_SQL} AS url FROM documents),
+        s AS (SELECT url, {score} AS score FROM u)
+        SELECT url, score FROM s WHERE score > 1.0
+        ORDER BY score DESC, url ASC LIMIT 100
+    """
+
+
+def q_seen_antijoin(spark, sf_dir):
+    """J1: URL-seen anti-join shape (customers with no orders)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def sql_seen_antijoin():
+    return """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """
+
+
+def q_sitemap_order(spark, sf_dir):
+    """O4: sitemap prioritization sort (slashes, length) + limit
+    (crawler/web_crawler.py:801-806) with canonical url tie-break."""
+    docs = load(spark, sf_dir, "documents")
+    u = docs.select(synth_url_col().alias("url"))
+    return (
+        u.withColumn("n_slash", F.size(F.split(F.col("url"), "/")) - 1)
+        .withColumn("url_len", F.length("url"))
+        .orderBy(F.asc("n_slash"), F.asc("url_len"), F.asc("url"))
+        .limit(50)
+    )
+
+
+def sql_sitemap_order():
+    return f"""
+        WITH u AS (SELECT {SYNTH_URL_SQL} AS url FROM documents)
+        SELECT url, len(string_split(url, '/')) - 1 AS n_slash, len(url) AS url_len
+        FROM u ORDER BY n_slash ASC, url_len ASC, url ASC LIMIT 50
+    """
+
+
+def q_categorize(spark, sf_dir):
+    """G1: entry categorization as a CASE chain + section counts."""
+    docs = load(spark, sf_dir, "documents")
+    with_cat = docs.select(
+        native.categorize_native(
+            synth_url_col(), synth_title_col(), F.col("text")
+        ).alias("category")
+    )
+    return with_cat.groupBy("category").agg(F.count("*").alias("n"))
+
+
+def sql_categorize():
+    cat = native.categorize_sql("url", "title", "text")
+    return f"""
+        WITH u AS (SELECT {SYNTH_URL_SQL} AS url, {SYNTH_TITLE_SQL} AS title, text
+                   FROM documents)
+        SELECT {cat} AS category, count(*) AS n FROM u GROUP BY 1
+    """
+
+
+def q_quality_filter(spark, sf_dir):
+    """P5+P2: word-count threshold + asset-extension filter."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            synth_url_col().alias("url"),
+            textstats.token_count(F.col("text")).alias("n_tokens"),
+        )
+        .filter((F.col("n_tokens") >= 50) & ~F.lower(F.col("url")).rlike(r"\.(png|jpg|jpeg|gif|svg|ico|css|js|pdf|zip|xml|txt)$"))
+        .select("doc_id", "n_tokens")
+    )
+
+
+def sql_quality_filter():
+    return f"""
+        WITH u AS (
+            SELECT doc_id, {SYNTH_URL_SQL} AS url,
+                   (CASE WHEN len(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens
+            FROM documents)
+        SELECT doc_id, n_tokens FROM u
+        WHERE n_tokens >= 50
+          AND NOT regexp_matches(lower(url), '\\.(png|jpg|jpeg|gif|svg|ico|css|js|pdf|zip|xml|txt)$')
+    """
+
+
+def q_events_by_type(spark, sf_dir):
+    """A1/A4 proxy: per-type counters + value stats over the events stream."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def sql_events_by_type():
+    return """
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 2) AS sum_value,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY event_type
+    """
+
+
+def q_events_window(spark, sf_dir):
+    """Tumbling-window aggregation (streaming analogue, batch semantics)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour", F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("hour", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def sql_events_window():
+    return """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    """
+
+
+def q_pricing_summary(spark, sf_dir):
+    """A2/A5 (TPC-H Q1 shape): grouped pricing aggregates with map-side
+    partial aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def sql_pricing_summary():
+    return """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q_join_enrich(spark, sf_dir):
+    """J4/J5 shape: broadcast-dim join pipeline — revenue per nation."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def sql_join_enrich():
+    return """
+        SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5 hash-groupBy keeping canonical min id."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+def sql_dedup_exact():
+    return """
+        SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY 1
+    """
+
+
+def q_minhash(spark, sf_dir):
+    """MinHash signatures (md5-lexicographic; engine-portable determinism)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "text", "doc_id", k=4)
+
+
+def sql_minhash():
+    return f"SELECT {dedup.minhash_sql('text', 'doc_id', k=4)} FROM documents"
+
+
+def q_lsh_pairs(spark, sf_dir):
+    """MinHash LSH banding -> candidate near-dup pairs (bucket self-join)."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", k=8)
+    bands = dedup.lsh_bands(sigs, "doc_id", k=8, bands=4)
+    return dedup.lsh_candidate_pairs(bands, "doc_id")
+
+
+def sql_lsh_pairs():
+    toks = "list_distinct(string_split_regex(lower(trim(text)), '\\s+'))"
+    sigs = ", ".join(
+        f"list_min(list_transform({toks}, t -> md5(t || ':{i}'))) AS sig_{i}"
+        for i in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(sig_{2*b} || '|' || sig_{2*b+1}) AS band_key FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+        WITH sigs AS (SELECT doc_id, {sigs} FROM documents),
+        bands AS ({bands})
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+        WHERE l.doc_id < r.doc_id
+    """
+
+
+def q_quality_scores(spark, sf_dir):
+    """Quality scoring (length/punct/word-shape bands; exact quarters)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.quality_score(F.col("text")).alias("quality"))
+
+
+def sql_quality_scores():
+    return f"SELECT doc_id, {textstats.quality_score_sql('text')} AS quality FROM documents"
+
+
+def q_fingerprints(spark, sf_dir):
+    """Document fingerprinting: md5 over normalized tokens."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
+
+
+def sql_fingerprints():
+    return f"SELECT doc_id, {textstats.fingerprint_sql('text')} AS fp FROM documents"
+
+
+def q_token_stats(spark, sf_dir):
+    """A5: per-language token statistics."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", textstats.token_count(F.col("text")).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+def sql_token_stats():
+    n_tokens = "(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END)"
+    return f"""
+        WITH t AS (SELECT lang, {n_tokens} AS n_tokens FROM documents)
+        SELECT lang, count(*) AS docs, sum(n_tokens) AS total_tokens,
+               round(avg(n_tokens), 4) AS avg_tokens
+        FROM t GROUP BY lang
+    """
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline against the vec_id=0 vector."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    topk = similarity.cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+    return topk.select("vec_id", F.round(F.col("sim"), 4).alias("sim"))
+
+
+def sql_ann_topk():
+    return """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, round(
+            list_dot_product(embedding::DOUBLE[], qe::DOUBLE[]) /
+            (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+             sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))), 4) AS sim
+        FROM embeddings, q WHERE vec_id != 0
+        ORDER BY list_dot_product(embedding::DOUBLE[], qe::DOUBLE[]) /
+            (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+             sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))) DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
+# ------------------------------------------- Spark-only (weaker rows check)
+
+def q_simhash(spark, sf_dir):
+    """SimHash near-dup fingerprints + pigeonhole chunks (pandas UDF)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "text", "doc_id")
+
+
+def q_lang_detect(spark, sf_dir):
+    """Language-ID heuristic (stopword argmax; native array ops)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.detect_language(F.col("text")).alias("lang_detected"))
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate ANN (scale path; high recall vs q_ann_topk)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    topk = similarity.ivf_topk(
+        emb.filter(F.col("vec_id") != 0), list(qvec), k=10, nlist=16, nprobe=6
+    )
+    return topk.select("vec_id", F.round(F.col("sim"), 4).alias("sim"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN (alternative scale path)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    topk = similarity.lsh_topk(
+        emb.filter(F.col("vec_id") != 0), list(qvec), k=10, n_planes=6, probe_hamming=2
+    )
+    return topk.select("vec_id", F.round(F.col("sim"), 4).alias("sim"))
+
+
+REGISTRY: dict[str, tuple] = {
+    # name: (spark_builder, oracle_sql_builder or None)
+    "frontier_topk": (q_frontier_topk, sql_frontier_topk),
+    "seen_antijoin": (q_seen_antijoin, sql_seen_antijoin),
+    "sitemap_order": (q_sitemap_order, sql_sitemap_order),
+    "categorize": (q_categorize, sql_categorize),
+    "quality_filter": (q_quality_filter, sql_quality_filter),
+    "events_by_type": (q_events_by_type, sql_events_by_type),
+    "events_window": (q_events_window, sql_events_window),
+    "pricing_summary": (q_pricing_summary, sql_pricing_summary),
+    "join_enrich": (q_join_enrich, sql_join_enrich),
+    "dedup_exact": (q_dedup_exact, sql_dedup_exact),
+    "minhash": (q_minhash, sql_minhash),
+    "lsh_pairs": (q_lsh_pairs, sql_lsh_pairs),
+    "quality_scores": (q_quality_scores, sql_quality_scores),
+    "fingerprints": (q_fingerprints, sql_fingerprints),
+    "token_stats": (q_token_stats, sql_token_stats),
+    "ann_topk": (q_ann_topk, sql_ann_topk),
+    "simhash": (q_simhash, None),
+    "lang_detect": (q_lang_detect, None),
+    "ann_ivf": (q_ann_ivf, None),
+    "ann_lsh": (q_ann_lsh, None),
+}
