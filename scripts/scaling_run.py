@@ -1,0 +1,94 @@
+"""Worker: one crawl-and-distill pipeline run at a given core count.
+
+Usage: python scripts/scaling_run.py <cores> <corpus_dir> [budget]
+Prints one JSON line with wall/throughput. JVM+python-worker warmup runs
+BEFORE the clock (codegen compile and worker spawn are one-time costs a
+long-lived cluster amortizes; see BENCH_SCALING.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from web2llmstxt_spark.functions import native, udfs  # noqa: E402
+from web2llmstxt_spark.operators import dedup, textstats  # noqa: E402
+from web2llmstxt_spark.oracle.crawl_oracle import CrawlConfig  # noqa: E402
+from web2llmstxt_spark.operators.frontier import FrontierCrawler  # noqa: E402
+from web2llmstxt_spark.plans import distill  # noqa: E402
+from web2llmstxt_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    corpus_dir = sys.argv[2]
+    budget = int(sys.argv[3]) if len(sys.argv) > 3 else 20000
+    meta = json.load(open(os.path.join(corpus_dir, "meta.json")))
+
+    spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores * 2)
+    site = spark.read.parquet(os.path.join(corpus_dir, "site_pages.parquet"))
+    # hash-partition by url: the fetch join then reuses this partitioning and
+    # only the (small) per-superstep attempt set shuffles
+    site = site.repartition(cores * 2, "url").cache()
+    n_site = site.count()
+
+    # warmup: compile codegen paths + spawn python workers once
+    warm = site.limit(2000).select(
+        udfs.normalize_url_udf("url").alias("u"),
+        native.score_url_native(F.col("url"), F.lit("https://bh0.example")).alias("s"),
+        udfs.extract_links_udf("out_links", F.lit("https://bh0.example"), F.lit("bh0.example")).alias("l"),
+    )
+    warm.write.format("noop").mode("overwrite").save()
+
+    cfg = CrawlConfig(max_pages=budget, safety_limit=budget)
+    crawler = FrontierCrawler(
+        spark, site, cfg, use_bloom=True, use_native_scorer=True, run_dir=None
+    )
+    seeds = [(i, u) for i, u in enumerate(meta["seeds"])]
+
+    t0 = time.time()
+    pages, seen = crawler.crawl(seeds)
+    pages = pages.persist()
+    n_pages = pages.count()
+    crawl_wall = time.time() - t0
+
+    # distill stage: describe + categorize + profile + simhash (the "distill"
+    # half of the north star, all vectorized)
+    t1 = time.time()
+    entries = distill.describe_pages(pages)
+    entries = distill.categorize_entries(entries, pages)
+    entries.write.format("noop").mode("overwrite").save()
+    prof = textstats.text_profile(pages, text_col="content", id_col="url")
+    prof.write.format("noop").mode("overwrite").save()
+    sims = dedup.simhash(pages, "content", "url")
+    sims.write.format("noop").mode("overwrite").save()
+    distill_wall = time.time() - t1
+
+    n_seen = seen.count()
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "site_pages": n_site,
+                "wall_sec": round(wall, 2),
+                "crawl_sec": round(crawl_wall, 2),
+                "distill_sec": round(distill_wall, 2),
+                "pages": n_pages,
+                "urls_attempted": n_seen,
+                "urls_per_sec": round(n_seen / wall, 2),
+                "supersteps": [m["wall_ms"] for m in crawler.metrics],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -93,3 +93,39 @@ def test_failed_fetches_enter_seen(spark):
     assert_parity(oracle_res, engine_pages, engine_seen)
     crawled_urls = {p["url"] for p in engine_pages}
     assert engine_seen - crawled_urls, "expected some attempted-but-not-kept URLs in seen"
+
+
+def test_native_scorer_parity(spark):
+    # the JVM Column-algebra scorer must reproduce the oracle exactly
+    corpus = generate_corpus(seed=29, n_hosts=2, pages_per_host=25)
+    cfg = CrawlConfig(max_pages=10)
+    oracle_res = crawl(corpus, cfg)
+    site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES)
+    engine = FrontierCrawler(spark, site, cfg, use_bloom=False, use_native_scorer=True)
+    pages_df, seen_df = engine.crawl([(sid, url) for sid, url, _ in corpus.seeds])
+    engine_pages = [r.asDict() for r in pages_df.collect()]
+    engine_seen = {r.url for r in seen_df.collect()}
+    assert_parity(oracle_res, engine_pages, engine_seen)
+
+
+def test_midscale_budget_cut_parity(spark, tmp_path):
+    """Regression net for the distributed budget cut (_with_global_rank):
+    a bulk corpus where the cut bites at depth>=2; engine (bloom + native
+    scorer + distributed top-k) must match the oracle exactly."""
+    from web2llmstxt_spark.sources.corpus import corpus_from_parquet, generate_corpus_fast
+
+    out = str(tmp_path / "bulk")
+    meta = generate_corpus_fast(seed=77, n_hosts=4, pages_per_host=300, out_links=25,
+                                out_dir=out)
+    corpus = corpus_from_parquet(f"{out}/site_pages.parquet", meta["seeds"])
+    cfg = CrawlConfig(max_pages=150, safety_limit=700)  # cut bites mid-crawl
+    oracle_res = crawl(corpus, cfg)
+    site = spark.read.parquet(f"{out}/site_pages.parquet")
+    engine = FrontierCrawler(spark, site, cfg, use_bloom=True, use_native_scorer=True)
+    pages_df, seen_df = engine.crawl([(i, u) for i, u in enumerate(meta["seeds"])])
+    engine_pages = [r.asDict() for r in pages_df.collect()]
+    engine_seen = {r.url for r in seen_df.collect()}
+    # slice under-fills on failures without backfill (SURVEY quirk); the cut
+    # is active when pages land close to (but possibly under) the budget
+    assert 600 <= len(oracle_res.pages) <= 700
+    assert_parity(oracle_res, engine_pages, engine_seen)

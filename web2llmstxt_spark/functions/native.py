@@ -12,8 +12,9 @@ Caveats (documented deviations, covered by parity tests on our URL corpora):
 
 from __future__ import annotations
 
+import re as _re
 from functools import reduce
-from operator import and_, or_
+from operator import or_
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -21,8 +22,17 @@ from pyspark.sql import functions as F
 from . import kernels
 
 
+def _regex_any(needles) -> str:
+    """One alternation regex == any-substring-contains over the needle list.
+
+    A single rlike node instead of N contains nodes — whole-stage codegen
+    compiles in milliseconds instead of seconds (measured: the 53-needle
+    contains-chain cost ~8 s of Janino per job)."""
+    return "|".join(_re.escape(k) for k in needles)
+
+
 def _contains_any(col: Column, needles) -> Column:
-    return reduce(or_, [col.contains(F.lit(k)) for k in needles])
+    return col.rlike(_regex_any(needles))
 
 
 def score_url_native(url: Column, base_url: Column) -> Column:
@@ -31,7 +41,9 @@ def score_url_native(url: Column, base_url: Column) -> Column:
     Ref: llmsgen/crawler/web_crawler.py:147-167 (pyc).
     """
     ul = F.lower(url)
-    is_asset = reduce(or_, [ul.endswith(F.lit(e)) for e in kernels.ASSET_EXTENSIONS])
+    is_asset = ul.rlike(
+        "(" + "|".join(_re.escape(e) for e in kernels.ASSET_EXTENSIONS) + ")$"
+    )
 
     kw = (
         F.when(_contains_any(ul, kernels.HIGH_VALUE_KEYWORDS), F.lit(3.0))
@@ -79,7 +91,8 @@ def categorize_native(url: Column, title: Column, content: Column) -> Column:
 
     def hit(keys, include_content=True):
         hays = [ul, tl, cl] if include_content else [ul, tl]
-        return reduce(or_, [h.contains(F.lit(k)) for k in keys for h in hays])
+        pat = _regex_any(keys)
+        return reduce(or_, [h.rlike(pat) for h in hays])
 
     return (
         F.when(hit(["/api", "/reference", "api docs", "developer."]), "API & Technical Reference")

@@ -133,6 +133,7 @@ class FrontierCrawler:
         run_dir: str | None = None,
         num_buckets: int = 32,
         use_bloom: bool = True,
+        use_native_scorer: bool = False,
         run_id: str = "run",
     ):
         self.spark = spark
@@ -141,6 +142,10 @@ class FrontierCrawler:
         self.run_dir = run_dir
         self.num_buckets = num_buckets
         self.use_bloom = use_bloom
+        # JVM Column-algebra scorer (functions/native.py): same results as the
+        # pandas-UDF kernel (parity-tested), ~no Python boundary — the bulk
+        # fast path; the UDF remains the bit-exactness reference.
+        self.use_native_scorer = use_native_scorer
         self.run_id = run_id
         self.metrics: list[dict] = []
         self.rules_by_host: dict = {}
@@ -160,14 +165,78 @@ class FrontierCrawler:
         return df.repartition(self.num_buckets, "bucket")
 
     def _snapshot(self, df: DataFrame, name: str, superstep: int) -> DataFrame:
-        """Parquet snapshot per superstep: resumable state + truncated lineage
-        (the Iceberg-table pattern; parquet layout keeps the sandbox
-        dependency-free — see state/checkpoint.py)."""
+        """Superstep state handoff.
+
+        run_dir set   -> parquet snapshot (the Iceberg-table pattern:
+                         resumable runs + truncated lineage; see
+                         state/checkpoint.py).
+        run_dir unset -> eager localCheckpoint. Lineage MUST be truncated at
+                         superstep boundaries: state DataFrames (seen,
+                         frontier) are referenced several times by the next
+                         superstep's DAG, and lazy chains re-run every prior
+                         superstep's shuffles (measured: superstep wall grew
+                         9s -> 14s -> 46s -> 98s lazily vs flat ~3s eager).
+        """
         if self.run_dir is None:
             return df.localCheckpoint(eager=True)
         path = os.path.join(self.run_dir, f"superstep={superstep}", name)
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
+
+    # --------------------------------------------------------- distributed rank
+    def _with_global_rank(self, df: DataFrame, order, rank_col: str,
+                          cum_col_flag=None) -> DataFrame:
+        """Global ordering WITHOUT a single-partition window or driver merge.
+
+        Two-pass distributed rank: range-partition on the sort key, window
+        WITHIN each partition (parallel), then add per-partition offsets
+        (tiny driver-side cumulative of partition counts). With
+        ``cum_col_flag`` also emits the global running sum of the flag
+        EXCLUDING the current row (for the comprehensive-mode budget cut).
+
+        This replaces both ``orderBy().limit(k)`` (TakeOrdered merges
+        P x k rows on the driver — measured 10-20 s serial at k=60k) and
+        ``Window.orderBy()`` with no partition (single-task sort).
+        """
+        p = max(self.spark.sparkContext.defaultParallelism, 4)
+        d = df.repartitionByRange(p, *order).withColumn("__pid", F.spark_partition_id())
+        # localCheckpoint (NOT persist): the per-partition offsets below are
+        # only valid for THIS materialization. A cache miss would silently
+        # re-run repartitionByRange with fresh sampled boundaries and shifted
+        # __pid assignment, corrupting ranks (observed as run-to-run seen-set
+        # drift before this fix). Checkpointing severs lineage: recompute is
+        # impossible, offsets always match the data.
+        d = d.localCheckpoint(eager=True)
+        aggs = [F.count("*").alias("n")]
+        if cum_col_flag is not None:
+            aggs.append(F.sum(cum_col_flag.cast("long")).alias("s"))
+        part_stats = {r["__pid"]: r for r in d.groupBy("__pid").agg(*aggs).collect()}
+        rank_off, flag_off = {}, {}
+        acc_n = acc_s = 0
+        for pid in sorted(part_stats):
+            rank_off[pid] = acc_n
+            flag_off[pid] = acc_s
+            acc_n += part_stats[pid]["n"]
+            if cum_col_flag is not None:
+                acc_s += part_stats[pid]["s"] or 0
+        w = Window.partitionBy("__pid").orderBy(*order)
+
+        def _map_expr(mapping):
+            expr = F.lit(0).cast("long")
+            for pid, off in mapping.items():
+                expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(expr)
+            return expr
+
+        d = d.withColumn(rank_col, F.row_number().over(w).cast("long") + _map_expr(rank_off))
+        if cum_col_flag is not None:
+            local_cum = F.coalesce(
+                F.sum(cum_col_flag.cast("long")).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            d = d.withColumn("__cum_before", local_cum + _map_expr(flag_off))
+        return d.drop("__pid")
 
     # ------------------------------------------------------------------ crawl
     def crawl(self, seeds: list[tuple[int, str]]):
@@ -189,7 +258,6 @@ class FrontierCrawler:
             .withColumn("score", F.lit(10.0))
             .withColumn("depth", F.lit(0))
             .withColumn("discovery_phase", F.lit("main_page"))
-            .withColumn("rank", F.row_number().over(Window.orderBy("seed_id")))
         )
         pages_cols = [
             "url",
@@ -200,15 +268,18 @@ class FrontierCrawler:
             "depth",
             "discovery_phase",
             "seed_id",
-            F.col("rank").cast("long").alias("rank"),
         ]
-        pages = self._snapshot(main.select(*pages_cols), "pages", 0)
-        pages_count = pages.count()
+        if self.run_dir is not None:
+            pages = self._snapshot(main.select(*pages_cols), "pages", 0)
+            pages_count = pages.count()
+            seen = self._snapshot(pages.select("url"), "seen", 0)
+            frontier = self._snapshot(self._new_links(main, from_depth=0), "frontier", 0)
+        else:
+            pages = main.select(*pages_cols).persist()
+            pages_count = pages.count()
+            seen = pages.select("url")
+            frontier = self._new_links(main, from_depth=0)
         all_pages = [pages]
-
-        seen = self._snapshot(pages.select("url"), "seen", 0)
-        frontier = self._new_links(main, from_depth=0)
-        frontier = self._snapshot(frontier, "frontier", 0)
 
         # --- supersteps (ref :211-246 (pyc)) --------------------------------
         for depth in range(1, cfg.depth_limit + 1):
@@ -223,7 +294,16 @@ class FrontierCrawler:
             else:
                 cand = frontier.join(seen, "url", "left_anti")  # J1 exact
 
-            cand = cand.withColumn("score", udfs.score_url_udf(F.col("url"), F.col("base_url")))
+            if self.use_native_scorer:
+                from ..functions import native
+
+                cand = cand.withColumn(
+                    "score", native.score_url_native(F.col("url"), F.col("base_url"))
+                )
+            else:
+                cand = cand.withColumn(
+                    "score", udfs.score_url_udf(F.col("url"), F.col("base_url"))
+                )
             cand = cand.filter(F.col("score") > F.lit(cfg.score_threshold))  # :218
             if cfg.enforce_robots and self.rules_by_host:
                 cand = cand.filter(~_robots_match_udf(self.rules_by_host)(F.col("url")))
@@ -244,24 +324,32 @@ class FrontierCrawler:
             if cfg.comprehensive:
                 # no slice (:220); budget bites mid-depth (:227): a candidate
                 # is ATTEMPTED iff fewer than `remaining` successes precede it
+                # in the global priority order (distributed running sum)
                 fetched = self.fetcher.fetch(cand)
-                w = Window.orderBy(*order)
                 appended = F.col("success") & (F.col("wc") >= 50)
-                fetched = fetched.withColumn(
-                    "cum_before",
-                    F.coalesce(
-                        F.sum(appended.cast("long")).over(
-                            w.rowsBetween(Window.unboundedPreceding, -1)
-                        ),
-                        F.lit(0),
-                    ),
+                ranked = self._with_global_rank(fetched, order, "__r", cum_col_flag=appended)
+                attempted = ranked.filter(F.col("__cum_before") < remaining).drop(
+                    "__r", "__cum_before"
                 )
-                attempted = fetched.filter(F.col("cum_before") < remaining).drop("cum_before")
             else:
-                todo = cand.orderBy(*order).limit(remaining)  # :220 slice
+                # :220 slice — but only pay for the distributed top-k when
+                # the cut can actually bite (usually one superstep per crawl)
+                cand = cand.localCheckpoint(eager=True)
+                if cand.count() > remaining:
+                    ranked = self._with_global_rank(cand, order, "__r")
+                    todo = ranked.filter(F.col("__r") <= remaining).drop("__r")
+                else:
+                    todo = cand
                 attempted = self.fetcher.fetch(todo)
             attempted = attempted.persist()
-            attempted_count = attempted.count()
+            # the ONE action of this superstep: materializes the whole chain
+            # (anti-join/bloom, scoring, sort, budget cut, fetch) into the
+            # cache and returns both loop-control counters at once
+            appended_flag = (F.col("success") & (F.col("wc") >= 50)).cast("long")
+            stats = attempted.agg(
+                F.count("*").alias("att"), F.coalesce(F.sum(appended_flag), F.lit(0)).alias("added")
+            ).first()
+            attempted_count, added = stats["att"], stats["added"]
             if attempted_count == 0:                       # :216/:221
                 attempted.unpersist()
                 break
@@ -271,22 +359,12 @@ class FrontierCrawler:
                 .withColumn("title2", udfs.extract_title_udf(F.col("title"), F.col("content"), F.col("url")))
                 .withColumn("depth", F.lit(depth))
                 .withColumn("discovery_phase", F.lit(f"depth_{depth}"))
-                .withColumn(
-                    "rank",
-                    F.row_number().over(Window.orderBy(*order)) + F.lit(pages_count),
-                )
             )
-            new_pages = self._snapshot(new_pages.select(*pages_cols), "pages", depth)
-            added = new_pages.count()
-            all_pages.append(new_pages)
-
-            seen = self._snapshot(                        # Q5: seen on attempt
-                seen.unionByName(attempted.select("url")).dropDuplicates(["url"]),
-                "seen",
-                depth,
-            )
+            new_pages = new_pages.select(*pages_cols)
             pages_count += added
 
+            seen_next = seen.unionByName(attempted.select("url")).dropDuplicates(["url"])  # Q5
+            frontier_next = frontier
             if depth < cfg.depth_limit:                   # Q7: last depth no expand
                 links = self._new_links(
                     new_pages.select("url").join(
@@ -297,10 +375,38 @@ class FrontierCrawler:
                 )
                 # Q6: union AFTER the depth; first-discovery ctx wins
                 fresh = links.join(frontier, "url", "left_anti")
-                frontier = self._snapshot(
-                    frontier.unionByName(fresh), "frontier", depth
+                frontier_next = frontier.unionByName(fresh)
+
+            if self.run_dir is not None:
+                # resumable layout: one parquet per state table
+                new_pages = self._snapshot(new_pages, "pages", depth)
+                seen = self._snapshot(seen_next, "seen", depth)
+                frontier = self._snapshot(frontier_next, "frontier", depth)
+            else:
+                # ONE combined checkpoint job for both state tables (seen +
+                # frontier share a 'kind' discriminator); pages stay lazy on
+                # the cached attempt set and materialize once at the end —
+                # 2 jobs per superstep total instead of 4
+                state = seen_next.select(
+                    F.lit("seen").alias("kind"),
+                    "url",
+                    F.lit(None).cast("int").alias("seed_id"),
+                    F.lit(None).cast("string").alias("base_url"),
+                    F.lit(None).cast("string").alias("base_domain"),
+                ).unionByName(
+                    frontier_next.select(
+                        F.lit("frontier").alias("kind"),
+                        "url", "seed_id", "base_url", "base_domain",
+                    )
                 )
-            attempted.unpersist()
+                state = state.localCheckpoint(eager=True)
+                seen = state.filter(F.col("kind") == "seen").select("url")
+                frontier = state.filter(F.col("kind") == "frontier").select(
+                    "url", "seed_id", "base_url", "base_domain"
+                )
+                new_pages = new_pages.persist()
+            all_pages.append(new_pages)
+            # NB: attempted stays persisted — lazy pages reference it
             self.metrics.append(
                 {
                     "run_id": self.run_id,
@@ -318,6 +424,20 @@ class FrontierCrawler:
         result = all_pages[0]
         for df in all_pages[1:]:
             result = result.unionByName(df)
+        # exact crawl order, assigned ONCE at the end: within a depth, pages
+        # were appended in (score desc, url asc) candidate order; depth 0 in
+        # seed order (multi-seed canonicalization)
+        result = result.withColumn(
+            "__seed0",
+            F.when(F.col("depth") == 0, F.col("seed_id")).otherwise(F.lit(0)),
+        )
+        final_order = (
+            F.col("depth").asc(),
+            F.col("__seed0").asc(),
+            F.col("score").desc(),
+            F.col("url").asc(),
+        )
+        result = self._with_global_rank(result, final_order, "rank").drop("__seed0")
         return result.orderBy("rank"), seen
 
     # ------------------------------------------------------------- link expand

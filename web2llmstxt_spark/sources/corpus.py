@@ -19,6 +19,7 @@ Graph-shape knobs exercised (FIXTURES.md §2):
 
 from __future__ import annotations
 
+import os
 import random
 from dataclasses import dataclass, field
 
@@ -79,6 +80,53 @@ class Corpus:
     def documents_rows(self) -> list[tuple]:
         """Rows in schemas.DOCUMENTS order (doc_id, spans)."""
         return [(p.url, p.spans) for p in self.pages.values()]
+
+    def to_parquet(self, out_dir: str) -> str:
+        """Materialize site_pages as parquet via pyarrow (no Spark) — the
+        bench/scaling input path (spark.read.parquet => pushdown, pruning)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(out_dir, exist_ok=True)
+        span_t = pa.struct(
+            [("kind", pa.string()), ("text", pa.string()),
+             ("media_ref", pa.string()), ("offset", pa.int32())]
+        )
+        schema = pa.schema(
+            [
+                ("url", pa.string()),
+                ("host", pa.string()),
+                ("title", pa.string()),
+                ("spans", pa.list_(span_t)),
+                ("word_count", pa.int32()),
+                ("out_links", pa.list_(pa.string())),
+                ("content_type", pa.string()),
+                ("fetch_ok", pa.bool_()),
+            ]
+        )
+        pages = list(self.pages.values())
+        table = pa.Table.from_pydict(
+            {
+                "url": [p.url for p in pages],
+                "host": [p.host for p in pages],
+                "title": [p.title for p in pages],
+                "spans": [
+                    [
+                        {"kind": k, "text": t, "media_ref": m, "offset": o}
+                        for k, t, m, o in p.spans
+                    ]
+                    for p in pages
+                ],
+                "word_count": [p.word_count for p in pages],
+                "out_links": [p.out_links for p in pages],
+                "content_type": [p.content_type for p in pages],
+                "fetch_ok": [p.fetch_ok for p in pages],
+            },
+            schema=schema,
+        )
+        path = os.path.join(out_dir, "site_pages.parquet")
+        pq.write_table(table, path)
+        return path
 
 
 def _make_spans(rng: random.Random, title: str, n_words: int, host: str) -> list[tuple]:
@@ -231,3 +279,130 @@ def generate_corpus(
 
     return Corpus(pages=pages, seeds=seeds, robots_rules=robots_rules,
                   host_policies=host_policies)
+
+
+def corpus_from_parquet(parquet_path: str, seeds: list[str]) -> Corpus:
+    """Rebuild a Corpus (oracle input) from a site_pages parquet — lets the
+    pure-Python oracle verify crawls over bulk-generated corpora."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(parquet_path)
+    pages: dict[str, SitePage] = {}
+    for row in table.to_pylist():
+        pages[row["url"]] = SitePage(
+            url=row["url"],
+            host=row["host"],
+            title=row["title"],
+            spans=[(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]],
+            word_count=row["word_count"],
+            out_links=row["out_links"],
+            content_type=row["content_type"],
+            fetch_ok=row["fetch_ok"],
+        )
+    return Corpus(
+        pages=pages,
+        seeds=[(i, u, 1.0) for i, u in enumerate(seeds)],
+        robots_rules=[],
+        host_policies=[],
+    )
+
+
+def generate_corpus_fast(
+    seed: int,
+    n_hosts: int,
+    pages_per_host: int,
+    out_links: int = 40,
+    out_dir: str | None = None,
+) -> dict:
+    """Bulk corpus for throughput benchmarks: same schema as generate_corpus
+    but column-wise generation straight into parquet (pyarrow), ~100k pages/min.
+
+    Link graph: each page links to `out_links` uniformly random same-host
+    pages (mixed raw forms: relative / absolute / trailing-slash / tracking
+    params) + a handful of noise links. Section vocabulary spans all scorer
+    tiers. Returns {'n_pages', 'seeds', 'path'}.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(seed)
+    sentences = [
+        " ".join(rng.choices(WORDS, k=rng.randint(8, 20))).capitalize() + "."
+        for _ in range(2000)
+    ]
+
+    urls, hosts_c, titles, spans_c, wcs, links_c, ctypes, oks = [], [], [], [], [], [], [], []
+    seeds = []
+    for hi in range(n_hosts):
+        host = f"bh{hi}.example"
+        base = f"https://{host}"
+        seeds.append(base + "/")
+        paths = ["/"]
+        for i in range(pages_per_host - 1):
+            a = SECTION_SEGMENTS[rng.randrange(len(SECTION_SEGMENTS))]
+            paths.append(f"/{a}/{WORDS[rng.randrange(len(WORDS))]}-{i}")
+        n = len(paths)
+        for i, path in enumerate(paths):
+            url = base + (path if path != "/" else "/")
+            url = url.rstrip("/") or url
+            if path == "/":
+                url = base + "/"
+            # canonical form: normalize by construction (no params/fragments)
+            seg = path.strip("/").split("/")[-1] or "home"
+            title = seg.replace("-", " ").title() + f" | BH{hi}"
+            n_sent = rng.randint(5, 14)
+            page_sents = [sentences[rng.randrange(2000)] for _ in range(n_sent)]
+            spans = [{"kind": "heading", "text": f"# {seg.title()}", "media_ref": "", "offset": 0}]
+            for j, s in enumerate(page_sents, start=1):
+                spans.append({"kind": "text", "text": s, "media_ref": "", "offset": j})
+            spans.append({"kind": "image", "text": "", "media_ref": f"{base}/img/{i}.png",
+                          "offset": n_sent + 1})
+            content = "\n\n".join([spans[0]["text"]] + page_sents)
+            wc = len(content.split())
+            lk = []
+            for _ in range(out_links):
+                t = paths[rng.randrange(n)]
+                form = rng.randrange(4)
+                if form == 0:
+                    lk.append(t)
+                elif form == 1:
+                    lk.append(base + t)
+                elif form == 2:
+                    lk.append(base + t + "/")
+                else:
+                    lk.append(base + t + "?utm_source=bench&ref=x")
+            lk += ["/img/a.png", "#top", "mailto:x@y.z", f"https://off{hi}.example/x"]
+            urls.append(url if path == "/" else base + path)
+            hosts_c.append(host)
+            titles.append(title)
+            spans_c.append(spans)
+            wcs.append(wc)
+            links_c.append(lk)
+            ctypes.append("text/html")
+            oks.append(rng.random() >= 0.05)
+
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+    table = pa.Table.from_pydict(
+        {
+            "url": urls, "host": hosts_c, "title": titles, "spans": spans_c,
+            "word_count": wcs, "out_links": links_c, "content_type": ctypes,
+            "fetch_ok": oks,
+        },
+        schema=pa.schema([
+            ("url", pa.string()), ("host", pa.string()), ("title", pa.string()),
+            ("spans", pa.list_(span_t)), ("word_count", pa.int32()),
+            ("out_links", pa.list_(pa.string())), ("content_type", pa.string()),
+            ("fetch_ok", pa.bool_()),
+        ]),
+    )
+    meta = {"n_pages": len(urls), "seeds": seeds}
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(table, os.path.join(out_dir, "site_pages.parquet"))
+        import json
+
+        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        meta["path"] = out_dir
+    return meta
