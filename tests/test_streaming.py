@@ -1,0 +1,61 @@
+"""Structured Streaming operators: hermetic file-source -> memory-sink tests."""
+
+import pyspark.sql.functions as F
+
+from web2llmstxt_spark.streaming import stream_crawl as SC
+
+
+def test_windowed_crawl_metrics(spark, tmp_path):
+    events_dir = str(tmp_path / "events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(events_dir)
+    stream = spark.readStream.schema(SC.EVENT_SCHEMA).parquet(events_dir)
+    agg = SC.windowed_crawl_metrics(stream, window="1 hour", watermark="2 hours")
+    SC.run_available_now(agg, "winmetrics", str(tmp_path / "ck1"), output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.table("winmetrics").collect()
+    }
+    # batch twin
+    ev = spark.read.parquet(events_dir)
+    expect = {
+        (r.hour, r.event_type): (r.n, r.sum_value)
+        for r in ev.withColumn(
+            "hour", F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+        )
+        .groupBy("hour", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_politeness_gate_token_bucket(spark, tmp_path):
+    urls_dir = str(tmp_path / "urls")
+    rows = [(f"h{i % 3}.example", f"https://h{i % 3}.example/p{i}") for i in range(30)]
+    spark.createDataFrame(rows, "host string, url string").repartition(1).write.parquet(urls_dir)
+    stream = spark.readStream.schema("host string, url string").parquet(urls_dir)
+    gated = SC.politeness_gate(stream, capacity_per_host=4)
+    SC.run_available_now(gated, "gated", str(tmp_path / "ck2"))
+    out = spark.table("gated").collect()
+    assert len(out) == 30
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r.admitted)
+    for host, admits in by_host.items():
+        assert sum(admits) == 4, f"{host}: budget not enforced ({sum(admits)})"
+
+
+def test_discovered_url_stream_normalizes(spark, tmp_path):
+    in_dir = str(tmp_path / "links")
+    rows = [
+        ("https://Ex.COM/a/?utm_source=x#f", 0, "https://ex.com", "ex.com"),
+        ("https://ex.com/a", 0, "https://ex.com", "ex.com"),  # same after P1
+        ("https://ex.com/b", 0, "https://ex.com", "ex.com"),
+    ]
+    spark.createDataFrame(
+        rows, "url string, seed_id int, base_url string, base_domain string"
+    ).repartition(1).write.parquet(in_dir)
+    stream = SC.discovered_url_stream(spark, in_dir)
+    SC.run_available_now(stream, "cand", str(tmp_path / "ck3"))
+    urls = sorted(r.url for r in spark.table("cand").collect())
+    assert urls == ["https://ex.com/a", "https://ex.com/b"]

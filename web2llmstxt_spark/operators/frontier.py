@@ -239,8 +239,12 @@ class FrontierCrawler:
         return d.drop("__pid")
 
     # ------------------------------------------------------------------ crawl
-    def crawl(self, seeds: list[tuple[int, str]]):
-        """Run the full BFS; returns (pages_df ordered by rank, seen_df)."""
+    def crawl(self, seeds: list[tuple[int, str]], _resume=None):
+        """Run the full BFS; returns (pages_df ordered by rank, seen_df).
+
+        ``_resume=(last_superstep, pages, seen, frontier)`` continues from a
+        state/checkpoint.py snapshot instead of fetching the seeds again.
+        """
         spark = self.spark
         cfg = self.cfg
         budget = cfg.effective_safety_limit
@@ -269,20 +273,29 @@ class FrontierCrawler:
             "discovery_phase",
             "seed_id",
         ]
-        if self.run_dir is not None:
+        start_depth = 1
+        if _resume is not None:
+            last, pages, seen, frontier = _resume
+            pages_count = pages.count()
+            all_pages = [pages]
+            if frontier is None or last >= cfg.depth_limit:
+                return self._finalize(all_pages), seen
+            start_depth = last + 1
+        elif self.run_dir is not None:
             pages = self._snapshot(main.select(*pages_cols), "pages", 0)
             pages_count = pages.count()
             seen = self._snapshot(pages.select("url"), "seen", 0)
             frontier = self._snapshot(self._new_links(main, from_depth=0), "frontier", 0)
+            all_pages = [pages]
         else:
             pages = main.select(*pages_cols).persist()
             pages_count = pages.count()
             seen = pages.select("url")
             frontier = self._new_links(main, from_depth=0)
-        all_pages = [pages]
+            all_pages = [pages]
 
         # --- supersteps (ref :211-246 (pyc)) --------------------------------
-        for depth in range(1, cfg.depth_limit + 1):
+        for depth in range(start_depth, cfg.depth_limit + 1):
             if pages_count >= budget:                      # :212
                 break
             t0 = time.time()
@@ -421,12 +434,15 @@ class FrontierCrawler:
                 with open(os.path.join(self.run_dir, f"superstep={depth}", "metrics.json"), "w") as f:
                     json.dump(self.metrics[-1], f)
 
+        return self._finalize(all_pages), seen
+
+    def _finalize(self, all_pages: list[DataFrame]) -> DataFrame:
+        """Union per-superstep pages + assign the exact crawl order ONCE:
+        within a depth, pages were appended in (score desc, url asc)
+        candidate order; depth 0 in seed order (multi-seed canonicalization)."""
         result = all_pages[0]
         for df in all_pages[1:]:
             result = result.unionByName(df)
-        # exact crawl order, assigned ONCE at the end: within a depth, pages
-        # were appended in (score desc, url asc) candidate order; depth 0 in
-        # seed order (multi-seed canonicalization)
         result = result.withColumn(
             "__seed0",
             F.when(F.col("depth") == 0, F.col("seed_id")).otherwise(F.lit(0)),
@@ -438,7 +454,7 @@ class FrontierCrawler:
             F.col("url").asc(),
         )
         result = self._with_global_rank(result, final_order, "rank").drop("__seed0")
-        return result.orderBy("rank"), seen
+        return result.orderBy("rank")
 
     # ------------------------------------------------------------- link expand
     def _new_links(self, pages_with_links: DataFrame, from_depth: int) -> DataFrame:

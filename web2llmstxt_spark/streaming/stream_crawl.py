@@ -1,0 +1,157 @@
+"""Structured Streaming operators (engine extension).
+
+The reference has NO real streaming (README's "Real-time streaming crawling"
+is an unchecked TODO, reference README.md:404); these are the north-rule
+extensions a continuously-fed frontier needs:
+
+- ``windowed_crawl_metrics``: tumbling-window per-type counters with a
+  watermark for late events (the A4 counters as a live stream),
+- ``politeness_gate``: per-host token-bucket admission over an unbounded URL
+  stream via ``applyInPandasWithState`` (T3 as a stateful streaming op),
+- ``discovered_url_stream``: file-source stream of discovered-URL batches ->
+  normalized, deduped candidates (the streaming half of J1/J2; the exact
+  seen-check stays in the batch superstep).
+
+All testable hermetically with file sources + ``Trigger.AvailableNow`` +
+memory sinks (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions import udfs
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def windowed_crawl_metrics(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window per-type counts with late-data watermark.
+
+    ``events`` is a streaming DataFrame with (ts timestamp, event_type
+    string, value double).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+#: output of politeness_gate
+GATE_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("url", StringType()),
+        StructField("admitted", IntegerType()),   # 1 admitted / 0 deferred
+        StructField("tokens_left", IntegerType()),
+    ]
+)
+
+GATE_STATE_SCHEMA = StructType([StructField("tokens", IntegerType())])
+
+
+def _gate_fn(capacity: int):
+    """Token-bucket admission: each host starts a micro-batch window with
+    ``capacity`` tokens; URLs beyond the budget are deferred (emitted with
+    admitted=0 so the caller can re-enqueue). State persists tokens across
+    micro-batches (refill is the caller's policy — here: keyed timeout resets).
+    """
+
+    def gate(key, pdfs, state: GroupState):
+        host = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        tokens = state.get[0] if state.exists else capacity
+        out = []
+        for pdf in pdfs:
+            for url in pdf["url"]:
+                if tokens > 0:
+                    tokens -= 1
+                    out.append((host, url, 1, tokens))
+                else:
+                    out.append((host, url, 0, 0))
+        state.update((tokens,))
+        state.setTimeoutDuration(60_000)
+        yield pd.DataFrame(out, columns=["host", "url", "admitted", "tokens_left"])
+
+    return gate
+
+
+def politeness_gate(urls: DataFrame, capacity_per_host: int) -> DataFrame:
+    """Per-host token-bucket over a streaming (host, url) DataFrame.
+
+    Stateful streaming twin of the batch per-host cap (CrawlConfig.host_caps,
+    frontier.py window path; ref T3 pacing, crawler/web_crawler.py:1174-1176).
+    """
+    return urls.groupBy("host").applyInPandasWithState(
+        _gate_fn(capacity_per_host),
+        outputStructType=GATE_SCHEMA,
+        stateStructType=GATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def discovered_url_stream(
+    spark: SparkSession, input_dir: str, schema: str = "url string, seed_id int, base_url string, base_domain string"
+) -> DataFrame:
+    """File-source stream of raw discovered links -> normalized candidates.
+
+    Normalization (P1) + in-stream dedup (dropDuplicates on the normalized
+    URL with watermark-free global state is unbounded; production bounds it
+    by the batch superstep's exact anti-join, so here we dedup per
+    micro-batch only).
+    """
+    raw = spark.readStream.schema(schema).parquet(input_dir)
+    return raw.withColumn("url", udfs.normalize_url_udf(F.col("url"))).dropDuplicates(
+        ["url"]
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """Drain a stream with Trigger.AvailableNow into a memory sink; read
+    results via ``spark.table(query_name)``. Aggregations should pass
+    output_mode='complete' (append would hold back non-finalized windows)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
