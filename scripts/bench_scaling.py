@@ -25,13 +25,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_HOSTS = int(os.environ.get("SCALING_HOSTS", "40"))
 PAGES_PER_HOST = int(os.environ.get("SCALING_PPH", "2500"))
 OUT_LINKS = int(os.environ.get("SCALING_LINKS", "40"))
+SENTS = tuple(int(x) for x in os.environ.get("SCALING_SENTS", "5,14").split(","))
 BUDGET = int(os.environ.get("SCALING_BUDGET", "60000"))
 N = int(os.environ.get("SCALING_N", "2"))
 POINTS = [N, 4 * N, 16 * N] if 16 * N <= 32 else [N, 4 * N]
 
 
 def ensure_corpus() -> str:
-    out_dir = f"/tmp/scaling_corpus_fast_h{N_HOSTS}_p{PAGES_PER_HOST}_l{OUT_LINKS}"
+    out_dir = f"/tmp/scaling_corpus_fast_h{N_HOSTS}_p{PAGES_PER_HOST}_l{OUT_LINKS}_s{SENTS[0]}-{SENTS[1]}"
     if os.path.exists(os.path.join(out_dir, "meta.json")):
         return out_dir
     from web2llmstxt_spark.sources.corpus import generate_corpus_fast
@@ -39,7 +40,7 @@ def ensure_corpus() -> str:
     print(f"generating corpus {N_HOSTS}x{PAGES_PER_HOST} ({OUT_LINKS} links/page)...",
           file=sys.stderr)
     generate_corpus_fast(seed=1234, n_hosts=N_HOSTS, pages_per_host=PAGES_PER_HOST,
-                         out_links=OUT_LINKS, out_dir=out_dir)
+                         out_links=OUT_LINKS, out_dir=out_dir, sentences=SENTS)
     return out_dir
 
 

@@ -1,0 +1,65 @@
+"""n-gram Jaccard verification, SimHash twin parity, host salting."""
+
+import pyspark.sql.functions as F
+
+from web2llmstxt_spark.operators import dedup
+
+
+def test_ngram_jaccard_verifies_pairs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "completely different text about spark engines here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "a int, b int")
+    got = {(r.a, r.b): r.jaccard for r in dedup.ngram_jaccard(df, pairs, n=3).collect()}
+    assert got[(1, 2)] > 0.5
+    assert got[(1, 3)] == 0.0
+
+
+def test_lsh_finds_near_duplicates(spark):
+    base = "spark frontier crawl engine with bloom filters and politeness budgets word"
+    rows = [(i, base + f" extra{i}") for i in range(3)]  # shared token sets
+    rows += [(10 + i, f"totally unrelated corpus item number {i} with words {i*7}") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sigs = dedup.minhash_signatures(df, "text", "doc_id", k=8)
+    bands = dedup.lsh_bands(sigs, "doc_id", k=8, bands=4)
+    pairs = {(r.a, r.b) for r in dedup.lsh_candidate_pairs(bands, "doc_id").collect()}
+    # the three near-dup docs share most tokens -> at least one band collides
+    assert any(a < 3 and b < 3 for a, b in pairs)
+
+
+def test_simhash_udf_matches_python_twin(spark):
+    rows = [(i, f"some text number {i} with shared vocabulary tokens") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.simhash for r in dedup.simhash(df, "text", "doc_id").collect()}
+    for i, text in rows:
+        assert got[i] == dedup.simhash64_py(text)
+    # near-identical texts have small Hamming distance
+    a = dedup.simhash64_py("the quick brown fox jumps over the lazy dog today")
+    b = dedup.simhash64_py("the quick brown fox jumps over the lazy cat today")
+    c = dedup.simhash64_py("completely different words appear in this unrelated sentence")
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert ham(a, b) < ham(a, c)
+
+
+def test_host_salting_spreads_skewed_host(spark):
+    from web2llmstxt_spark.operators.frontier import FrontierCrawler
+    from web2llmstxt_spark.oracle.crawl_oracle import CrawlConfig
+
+    crawler = FrontierCrawler(spark, None.__class__ and spark.range(0).selectExpr("'x' as url"),
+                              CrawlConfig(), num_buckets=16)
+    urls = [(f"https://mega.example/p{i}",) for i in range(400)]
+    urls += [(f"https://tiny{i}.example/",) for i in range(10)]
+    df = spark.createDataFrame(urls, "url string")
+    unsalted = crawler._bucketed(df)
+    n_unsalted = unsalted.filter(F.col("host") == "mega.example").select("bucket").distinct().count()
+    assert n_unsalted == 1  # the skewed host pins one partition
+    salted = crawler._bucketed(df, salt_hosts={"mega.example": 8})
+    n_salted = salted.filter(F.col("host") == "mega.example").select("bucket").distinct().count()
+    assert n_salted == 8  # fan-out across 8 buckets
+    # non-skewed hosts unaffected
+    t0 = unsalted.filter(F.col("host") != "mega.example").select("host", "bucket").collect()
+    t1 = salted.filter(F.col("host") != "mega.example").select("host", "bucket").collect()
+    assert sorted(map(tuple, t0)) == sorted(map(tuple, t1))

@@ -192,6 +192,94 @@ def extract_links(raw_links, base_url: str, base_domain: str) -> list[str]:
     return sorted(out)
 
 
+def get_domain_variants(domain: str) -> set[str]:
+    """www/apex/subdomain variants (P3). Ref: crawler/web_crawler.py:711-733."""
+    variants = {domain.lower()}
+    if domain.startswith("www."):
+        variants.add(domain[4:])
+    else:
+        variants.add(f"www.{domain}")
+    if "." in domain:
+        parts = domain.split(".")
+        if len(parts) >= 2:
+            main = ".".join(parts[-2:])
+            variants.add(main)
+            variants.add(f"www.{main}")
+    return variants
+
+
+def is_valid_domain_url(url: str, valid_domains: set[str]) -> bool:
+    """Domain-variant membership (P3). Ref: crawler/web_crawler.py:735-759."""
+    if not url or not url.startswith(("http://", "https://")):
+        return False
+    try:
+        parsed = urllib.parse.urlparse(url)
+        url_domain = parsed.netloc.lower()
+        if url_domain in valid_domains:
+            return True
+        for valid in valid_domains:
+            if url_domain == valid or url_domain.endswith(f".{valid}"):
+                return True
+        return False
+    except Exception:
+        return False
+
+
+def make_absolute_url(href: str, base_url: str) -> str:
+    """L4. Ref: crawler/web_crawler.py:634-642."""
+    try:
+        if href.startswith("http"):
+            return href
+        return urllib.parse.urljoin(base_url, href)
+    except Exception:
+        return ""
+
+
+def generate_sequential_pages(current_url: str, base_domain: str, max_pages: int = 20) -> set[str]:
+    """Sequential pagination synthesis (L3).
+
+    Twin of ``WebCrawler._generate_sequential_pages``
+    (crawler/web_crawler.py:644-709): first matching pattern of
+    /page/N/, ?page=N, ?p=N, /pN/, ?offset=N generates ~9 next pages and
+    up to 5 previous (offset steps by n*10 — reference quirk); with no
+    pattern and no query string, probe ?page=2..5 and ?p=2..5. (v1-only
+    operator; its results are never enqueued by the reference — quirk Q3.)
+    """
+    out: set[str] = set()
+    patterns = [
+        (r"/page/(\d+)/", lambda m, n: current_url.replace(f"/page/{m.group(1)}/", f"/page/{n}/")),
+        (r"[?&]page=(\d+)", lambda m, n: re.sub(r"([?&])page=\d+", f"\\g<1>page={n}", current_url)),
+        (r"[?&]p=(\d+)", lambda m, n: re.sub(r"([?&])p=\d+", f"\\g<1>p={n}", current_url)),
+        (r"/p(\d+)/", lambda m, n: current_url.replace(f"/p{m.group(1)}/", f"/p{n}/")),
+        (r"[?&]offset=(\d+)", lambda m, n: re.sub(r"([?&])offset=\d+", f"\\g<1>offset={n * 10}", current_url)),
+    ]
+    for pattern, gen in patterns:
+        m = re.search(pattern, current_url)
+        if m:
+            try:
+                current = int(m.group(1))
+            except ValueError:
+                continue
+            for nxt in range(current + 1, min(current + max_pages, current + 10)):
+                u = gen(m, nxt)
+                if u and base_domain in u and u != current_url:
+                    out.add(u)
+            if current > 1:
+                for prev in range(max(1, current - 5), current):
+                    u = gen(m, prev)
+                    if u and base_domain in u and u != current_url:
+                        out.add(u)
+            break
+    if not out and "?" not in current_url:
+        base = current_url.rstrip("/")
+        for page_num in range(2, 6):
+            for param in ("page", "p"):
+                test = f"{base}?{param}={page_num}"
+                if base_domain in test:
+                    out.add(test)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Title kernels
 # ---------------------------------------------------------------------------

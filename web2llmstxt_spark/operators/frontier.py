@@ -157,11 +157,28 @@ class FrontierCrawler:
     def _with_host(self, df: DataFrame, url_col: str = "url") -> DataFrame:
         return df.withColumn("host", F.lower(F.parse_url(F.col(url_col), F.lit("HOST"))))
 
-    def _bucketed(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+    def _bucketed(self, df: DataFrame, url_col: str = "url",
+                  salt_hosts: dict[str, int] | None = None) -> DataFrame:
         """Host-hash partitioning (north rule): co-locates a host's URLs so
-        seen-filter state and politeness decisions are partition-local."""
+        seen-filter state and politeness decisions are partition-local.
+
+        ``salt_hosts`` maps skewed hosts -> salt fan-out k: their URLs spread
+        over k buckets (bucket = hash(host)+hash(url)%k) so one mega-host
+        can't pin a partition (SURVEY §4 skew note). Salting is safe for the
+        Bloom/seen state because membership checks key on the full URL; only
+        co-location granularity changes. AQE skew-join handles residual skew.
+        """
         df = self._with_host(df, url_col)
-        df = df.withColumn("bucket", udfs.host_bucket_udf(F.col("host"), F.lit(self.num_buckets)))
+        base = udfs.host_bucket_udf(F.col("host"), F.lit(self.num_buckets))
+        if salt_hosts:
+            salt = F.lit(0)
+            for host, k in salt_hosts.items():
+                salt = F.when(
+                    F.col("host") == host,
+                    F.pmod(F.hash(F.col(url_col)), F.lit(k)),
+                ).otherwise(salt)
+            base = F.pmod(base + salt, F.lit(self.num_buckets))
+        df = df.withColumn("bucket", base.cast("int"))
         return df.repartition(self.num_buckets, "bucket")
 
     def _snapshot(self, df: DataFrame, name: str, superstep: int) -> DataFrame:

@@ -174,6 +174,7 @@ def generate_corpus(
     seeds = []
     robots_rules = []
     host_policies = []
+    sitemap_entries: list[tuple] = []
 
     for hi in range(n_hosts):
         host = f"ex{hi}.example"
@@ -277,8 +278,19 @@ def generate_corpus(
         robots_rules.append((host, "*", "allow", "/"))
         host_policies.append((host, 10.0, max(5, n_pages // 4), 100))
 
+        # --- sitemaps: root index -> two sub-sitemaps (FIXTURES.md §5) --------
+        root_sm = f"{base}/sitemap.xml"
+        subs = [f"{base}/sitemap-a.xml", f"{base}/sitemap-b.xml"]
+        for sub in subs:
+            sitemap_entries.append((root_sm, None, sub, True))
+        host_urls = [u for u in pages if pages[u].host == host]
+        for i, u in enumerate(host_urls):
+            sitemap_entries.append((subs[i % 2], root_sm, u, False))
+        # cross-domain noise a sitemap may list (must be filtered by P3)
+        sitemap_entries.append((subs[0], root_sm, "https://other.example/x", False))
+
     return Corpus(pages=pages, seeds=seeds, robots_rules=robots_rules,
-                  host_policies=host_policies)
+                  host_policies=host_policies, sitemap_entries=sitemap_entries)
 
 
 def corpus_from_parquet(parquet_path: str, seeds: list[str]) -> Corpus:
@@ -313,6 +325,7 @@ def generate_corpus_fast(
     pages_per_host: int,
     out_links: int = 40,
     out_dir: str | None = None,
+    sentences: tuple[int, int] = (5, 14),
 ) -> dict:
     """Bulk corpus for throughput benchmarks: same schema as generate_corpus
     but column-wise generation straight into parquet (pyarrow), ~100k pages/min.
@@ -326,7 +339,7 @@ def generate_corpus_fast(
     import pyarrow.parquet as pq
 
     rng = random.Random(seed)
-    sentences = [
+    sentence_pool = [
         " ".join(rng.choices(WORDS, k=rng.randint(8, 20))).capitalize() + "."
         for _ in range(2000)
     ]
@@ -350,8 +363,8 @@ def generate_corpus_fast(
             # canonical form: normalize by construction (no params/fragments)
             seg = path.strip("/").split("/")[-1] or "home"
             title = seg.replace("-", " ").title() + f" | BH{hi}"
-            n_sent = rng.randint(5, 14)
-            page_sents = [sentences[rng.randrange(2000)] for _ in range(n_sent)]
+            n_sent = rng.randint(*sentences)
+            page_sents = [sentence_pool[rng.randrange(2000)] for _ in range(n_sent)]
             spans = [{"kind": "heading", "text": f"# {seg.title()}", "media_ref": "", "offset": 0}]
             for j, s in enumerate(page_sents, start=1):
                 spans.append({"kind": "text", "text": s, "media_ref": "", "offset": j})
