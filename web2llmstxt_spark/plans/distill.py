@@ -46,8 +46,11 @@ def categorize_entries(entries: DataFrame, pages: DataFrame) -> DataFrame:
     Reference joins entries to a url->content map
     (llmsgen/utils/file_utils.py:122-123); here it's a broadcast join on url.
     """
+    # no broadcast hint: the content map is the PAGES table (arbitrarily
+    # large); building a broadcast of it is single-threaded driver time.
+    # AQE broadcasts it anyway when it is actually small.
     content_map = pages.select("url", F.col("content").alias("page_content"))
-    joined = entries.join(F.broadcast(content_map), "url", "left")
+    joined = entries.join(content_map, "url", "left")
     return joined.withColumn(
         "category",
         udfs.categorize_udf(F.col("url"), F.col("title"), F.col("page_content")),
