@@ -54,6 +54,39 @@ def test_partial_snapshot_detected(spark, tmp_path):
     run_full(spark, corpus, cfg, run_dir)
     last = checkpoint.last_complete_superstep(run_dir)
     assert last >= 1
-    # corrupt the newest snapshot: drop the _SUCCESS marker
+    # crash after `seen` write: _COMMIT (written last) and everything after
+    # the crash point are absent — the snapshot must roll back a superstep
+    os.remove(os.path.join(run_dir, f"superstep={last}", "_COMMIT"))
     os.remove(os.path.join(run_dir, f"superstep={last}", "seen", "_SUCCESS"))
     assert checkpoint.last_complete_superstep(run_dir) == last - 1
+
+
+def test_crash_between_seen_and_frontier_rolls_back(spark, tmp_path):
+    """The round-1 advice scenario: driver dies after pages+seen but before
+    frontier. Pre-marker logic deemed the snapshot complete and resume
+    silently returned a truncated crawl; the _COMMIT marker must reject it
+    and resume must still reproduce the full result."""
+    corpus = generate_corpus(seed=37, n_hosts=1, pages_per_host=30)
+    cfg = CrawlConfig(max_pages=8)
+    run_dir = str(tmp_path / "full")
+    full_pages, full_seen, site, seeds = run_full(spark, corpus, cfg, run_dir)
+    last = checkpoint.last_complete_superstep(run_dir)
+    assert last >= 1
+
+    crash_dir = str(tmp_path / "crash")
+    os.makedirs(crash_dir)
+    for n in range(last + 1):
+        shutil.copytree(
+            os.path.join(run_dir, f"superstep={n}"),
+            os.path.join(crash_dir, f"superstep={n}"),
+        )
+    # superstep `last` crashed mid-write: frontier + metrics + _COMMIT missing
+    shutil.rmtree(os.path.join(crash_dir, f"superstep={last}", "frontier"))
+    os.remove(os.path.join(crash_dir, f"superstep={last}", "_COMMIT"))
+    assert checkpoint.last_complete_superstep(crash_dir) == last - 1
+
+    pages, seen = checkpoint.resume_crawl(spark, site, cfg, crash_dir, seeds)
+    got_pages = [tuple(r) for r in pages.select("rank", "url", "depth", "score").collect()]
+    got_seen = {r.url for r in seen.collect()}
+    assert got_pages == full_pages
+    assert got_seen == full_seen

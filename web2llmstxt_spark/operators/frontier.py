@@ -200,6 +200,15 @@ class FrontierCrawler:
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
+    def _commit_superstep(self, superstep: int) -> None:
+        """Write the per-superstep commit marker LAST — a snapshot is only
+        resumable once pages+seen+frontier (and metrics) are all on disk. A
+        driver crash between the seen and frontier writes must NOT leave a
+        superstep that load_state would treat as complete (round-1 advice:
+        that silently truncated resumed crawls)."""
+        with open(os.path.join(self.run_dir, f"superstep={superstep}", "_COMMIT"), "w") as f:
+            f.write("ok")
+
     # --------------------------------------------------------- distributed rank
     def _with_global_rank(self, df: DataFrame, order, rank_col: str,
                           cum_col_flag=None) -> DataFrame:
@@ -303,6 +312,7 @@ class FrontierCrawler:
             pages_count = pages.count()
             seen = self._snapshot(pages.select("url"), "seen", 0)
             frontier = self._snapshot(self._new_links(main, from_depth=0), "frontier", 0)
+            self._commit_superstep(0)
             all_pages = [pages]
         else:
             pages = main.select(*pages_cols).persist()
@@ -450,6 +460,7 @@ class FrontierCrawler:
             if self.run_dir is not None:
                 with open(os.path.join(self.run_dir, f"superstep={depth}", "metrics.json"), "w") as f:
                     json.dump(self.metrics[-1], f)
+                self._commit_superstep(depth)
 
         return self._finalize(all_pages), seen
 

@@ -8,6 +8,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+#: The ONE whitespace tokenizer class, pinned explicitly so Spark (Java
+#: regex), DuckDB (RE2) and Python kernels agree bit-for-bit. Java's ``\s``
+#: is exactly this class; RE2's ``\s`` lacks ``\x0B`` — pinning removes the
+#: cross-engine divergence risk flagged in round 1 (token_stats).
+WS_CLASS_JAVA = "[ \\t\\n\\x0B\\f\\r]+"
+WS_CLASS_SQL = "[ \\t\\n\\x0b\\f\\r]+"
+
 #: tiny per-language function-word lists for the n-gram/stopword language-ID
 #: heuristic (public-knowledge closed-class words; good enough for routing)
 LANG_STOPWORDS = {
@@ -20,7 +27,12 @@ LANG_STOPWORDS = {
 
 
 def whitespace_tokens(text: Column) -> Column:
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    return F.split(F.lower(F.trim(text)), WS_CLASS_JAVA)
+
+
+def whitespace_tokens_sql(text_expr: str) -> str:
+    """DuckDB twin of whitespace_tokens."""
+    return f"string_split_regex(lower(trim({text_expr})), '{WS_CLASS_SQL}')"
 
 
 def bpe_ish_tokens(text: Column) -> Column:
@@ -34,7 +46,15 @@ def bpe_ish_tokens(text: Column) -> Column:
 
 def token_count(text: Column) -> Column:
     t = F.trim(text)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, WS_CLASS_JAVA)))
+
+
+def token_count_sql(text_expr: str) -> str:
+    """DuckDB twin of token_count (same explicit whitespace class)."""
+    return (
+        f"(CASE WHEN len(trim({text_expr})) = 0 THEN 0 ELSE "
+        f"len(string_split_regex(trim({text_expr}), '{WS_CLASS_SQL}')) END)"
+    )
 
 
 def quality_score(text: Column) -> Column:
@@ -57,7 +77,7 @@ def quality_score_sql(text_expr: str) -> str:
     """DuckDB twin of quality_score."""
     t = f"coalesce({text_expr}, '')"
     n_chars = f"len({t})"
-    n_tokens = f"(CASE WHEN len(trim({t})) = 0 THEN 0 ELSE len(string_split_regex(trim({t}), '\\s+')) END)"
+    n_tokens = token_count_sql(t)
     punct = f"(len({t}) - len(regexp_replace({t}, '[.,!?;:]', '', 'g')))"
     punct_ratio = f"(CASE WHEN {n_chars} > 0 THEN {punct}::DOUBLE / {n_chars} ELSE 0.0 END)"
     mean_word = f"(CASE WHEN {n_tokens} > 0 THEN {n_chars}::DOUBLE / {n_tokens} ELSE 0.0 END)"
@@ -74,7 +94,7 @@ def fingerprint(text: Column) -> Column:
 
 
 def fingerprint_sql(text_expr: str) -> str:
-    return f"md5(list_aggregate(string_split_regex(lower(trim({text_expr})), '\\s+'), 'string_agg', ' '))"
+    return f"md5(list_aggregate({whitespace_tokens_sql(text_expr)}, 'string_agg', ' '))"
 
 
 def detect_language(text: Column) -> Column:
@@ -82,29 +102,41 @@ def detect_language(text: Column) -> Column:
     'und' when nothing matches. Deterministic ties: language name asc."""
     toks = whitespace_tokens(text)
     scored = []
-    for lang in sorted(LANG_STOPWORDS):
+    # tie key = negated rank in sorted(LANG_STOPWORDS): after reverse(sort)
+    # the max (hits, -rank) wins, i.e. lexicographically SMALLEST lang on hit
+    # ties (round-1 advice: first-char ascii broke en-vs-es ties).
+    for rank, lang in enumerate(sorted(LANG_STOPWORDS)):
         hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])))
-        scored.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
-    # argmax: greatest by (hits, lang) — but prefer lang ASC on hit ties =>
-    # compare on (hits, negated-rank) via sort_array desc on (hits, revlang)
-    arr = F.array(*scored)
-    best = F.element_at(
-        F.reverse(
-            F.array_sort(
-                F.transform(
-                    arr,
-                    lambda s: F.struct(
-                        s["hits"].alias("hits"),
-                        # lang asc wins ties after reverse => store reversed-order key
-                        (F.lit(-1) * F.ascii(F.substring(s["lang"], 1, 1))).alias("tie"),
-                        s["lang"].alias("lang"),
-                    ),
-                )
-            )
-        ),
-        1,
-    )
+        scored.append(
+            F.struct(hits.alias("hits"), F.lit(-rank).alias("tie"), F.lit(lang).alias("lang"))
+        )
+    best = F.element_at(F.reverse(F.array_sort(F.array(*scored))), 1)
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def detect_language_sql(text_expr: str, id_expr: str, from_table: str) -> str:
+    """DuckDB twin of detect_language: per-lang hit counts via list_intersect
+    (distinct semantics, same as Spark array_intersect), argmax with hit-count
+    desc then language asc — the documented deterministic tie order."""
+    toks = whitespace_tokens_sql(text_expr)
+    arms = []
+    for lang in sorted(LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        arms.append(
+            f"SELECT {id_expr} AS doc_id, '{lang}' AS lang, "
+            f"len(list_intersect({toks}, [{words}])) AS hits FROM {from_table}"
+        )
+    hits_union = " UNION ALL ".join(arms)
+    return f"""
+        WITH hits AS ({hits_union}),
+        ranked AS (
+            SELECT doc_id, lang, hits,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+            FROM hits
+        )
+        SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_detected
+        FROM ranked WHERE rn = 1
+    """
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -171,8 +171,7 @@ def sql_quality_filter():
     return f"""
         WITH u AS (
             SELECT doc_id, {SYNTH_URL_SQL} AS url,
-                   (CASE WHEN len(trim(text)) = 0 THEN 0
-                         ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens
+                   {textstats.token_count_sql('text')} AS n_tokens
             FROM documents)
         SELECT doc_id, n_tokens FROM u
         WHERE n_tokens >= 50
@@ -354,10 +353,13 @@ def q_token_stats(spark, sf_dir):
 
 
 def sql_token_stats():
-    n_tokens = "(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END)"
+    # sum(BIGINT) in DuckDB widens to HUGEINT, which pandas/Arrow render as
+    # float ("3549.0") while Spark emits bigint ("3549") — the round-1
+    # hash_match:false. Cast back to BIGINT so both engines agree textually.
+    n_tokens = textstats.token_count_sql("text")
     return f"""
         WITH t AS (SELECT lang, {n_tokens} AS n_tokens FROM documents)
-        SELECT lang, count(*) AS docs, sum(n_tokens) AS total_tokens,
+        SELECT lang, count(*) AS docs, sum(n_tokens)::BIGINT AS total_tokens,
                round(avg(n_tokens), 4) AS avg_tokens
         FROM t GROUP BY lang
     """
@@ -386,12 +388,14 @@ def sql_ann_topk():
     """
 
 
-# ------------------------------------------- Spark-only (weaker rows check)
-
 def q_simhash(spark, sf_dir):
     """SimHash near-dup fingerprints + pigeonhole chunks (pandas UDF)."""
     docs = load(spark, sf_dir, "documents")
     return dedup.simhash(docs, "text", "doc_id")
+
+
+def sql_simhash():
+    return dedup.simhash_sql("text", "doc_id", "documents")
 
 
 def q_lang_detect(spark, sf_dir):
@@ -400,24 +404,108 @@ def q_lang_detect(spark, sf_dir):
     return docs.select("doc_id", textstats.detect_language(F.col("text")).alias("lang_detected"))
 
 
+def sql_lang_detect():
+    return textstats.detect_language_sql("text", "doc_id", "documents")
+
+
+EMB_DIM = 64  # the testdata embeddings dim (asserted in the Spark builders)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF approximate ANN (scale path; high recall vs q_ann_topk)."""
     emb = load(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    assert len(qvec) == EMB_DIM, f"oracle SQL assumes dim {EMB_DIM}, got {len(qvec)}"
     topk = similarity.ivf_topk(
         emb.filter(F.col("vec_id") != 0), list(qvec), k=10, nlist=16, nprobe=6
     )
     return topk.select("vec_id", F.round(F.col("sim"), 4).alias("sim"))
 
 
+def sql_ann_ivf(nlist: int = 16, nprobe: int = 6, k: int = 10):
+    """DuckDB twin of the full IVF pipeline: centroid seed pick (nlist
+    lowest-id vectors), nearest-centroid assignment (csim desc, cid asc
+    tie-break == Spark's max_by struct), probe-list selection, exact cosine
+    within probed lists."""
+    e = "e.embedding::DOUBLE[]"
+    c = "c.cvec"
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        cent AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                   embedding::DOUBLE[] AS cvec
+            FROM embeddings WHERE vec_id != 0 ORDER BY vec_id LIMIT {nlist}
+        ),
+        probe AS (
+            SELECT cid FROM cent c, q
+            ORDER BY {_cos_sql(c, 'qe')} DESC, cid ASC LIMIT {nprobe}
+        ),
+        assigned AS (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_cos_sql(e, c)} DESC, c.cid ASC) AS rn
+            FROM embeddings e, cent c WHERE e.vec_id != 0
+        ),
+        cand AS (
+            SELECT vec_id FROM assigned
+            WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+        )
+        SELECT e.vec_id, round({_cos_sql(e, 'qe')}, 4) AS sim
+        FROM embeddings e JOIN cand USING (vec_id), q
+        ORDER BY {_cos_sql(e, 'qe')} DESC, e.vec_id ASC LIMIT {k}
+    """
+
+
 def q_ann_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN (alternative scale path)."""
     emb = load(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    assert len(qvec) == EMB_DIM, f"oracle SQL assumes dim {EMB_DIM}, got {len(qvec)}"
     topk = similarity.lsh_topk(
         emb.filter(F.col("vec_id") != 0), list(qvec), k=10, n_planes=6, probe_hamming=2
     )
     return topk.select("vec_id", F.round(F.col("sim"), 4).alias("sim"))
+
+
+def sql_ann_lsh(n_planes: int = 6, probe_hamming: int = 2, k: int = 10):
+    """DuckDB twin of the random-hyperplane LSH pipeline. The hyperplanes are
+    the same deterministic md5-derived constants the Spark path uses
+    (similarity.hyperplanes), inlined as literals; candidate set = buckets
+    within ``probe_hamming`` bits of the query bucket (== the Spark
+    multiprobe set), exact cosine within candidates."""
+    planes = similarity.hyperplanes(EMB_DIM, n_planes)
+
+    def bucket_expr(vec: str) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product({vec}, "
+            f"[{', '.join(repr(v) for v in plane)}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        return f"({bits})"
+    e = "e.embedding::DOUBLE[]"
+    return f"""
+        WITH q AS (
+            SELECT embedding::DOUBLE[] AS qe,
+                   {bucket_expr('embedding::DOUBLE[]')} AS qbucket
+            FROM embeddings WHERE vec_id = 0
+        ),
+        cand AS (
+            SELECT e.vec_id FROM embeddings e, q
+            WHERE e.vec_id != 0
+              AND bit_count(xor({bucket_expr(e)}::BIGINT, qbucket::BIGINT)) <= {probe_hamming}
+        )
+        SELECT e.vec_id, round({_cos_sql(e, 'qe')}, 4) AS sim
+        FROM embeddings e JOIN cand USING (vec_id), q
+        ORDER BY {_cos_sql(e, 'qe')} DESC, e.vec_id ASC LIMIT {k}
+    """
 
 
 REGISTRY: dict[str, tuple] = {
@@ -438,8 +526,8 @@ REGISTRY: dict[str, tuple] = {
     "fingerprints": (q_fingerprints, sql_fingerprints),
     "token_stats": (q_token_stats, sql_token_stats),
     "ann_topk": (q_ann_topk, sql_ann_topk),
-    "simhash": (q_simhash, None),
-    "lang_detect": (q_lang_detect, None),
-    "ann_ivf": (q_ann_ivf, None),
-    "ann_lsh": (q_ann_lsh, None),
+    "simhash": (q_simhash, sql_simhash),
+    "lang_detect": (q_lang_detect, sql_lang_detect),
+    "ann_ivf": (q_ann_ivf, sql_ann_ivf),
+    "ann_lsh": (q_ann_lsh, sql_ann_lsh),
 }

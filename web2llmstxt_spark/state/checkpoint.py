@@ -34,7 +34,15 @@ def _complete(path: str) -> bool:
 
 
 def last_complete_superstep(run_dir: str) -> int | None:
-    """Highest N whose pages/seen/frontier snapshots all finished."""
+    """Highest N whose snapshot committed.
+
+    A superstep counts as complete ONLY once its ``_COMMIT`` marker exists —
+    written strictly after pages, seen, frontier and metrics (see
+    FrontierCrawler._commit_superstep). A crash between the seen and frontier
+    writes therefore rolls back to the previous superstep instead of
+    resuming from a half-snapshot (which silently truncated the crawl).
+    Legacy fallback (pre-marker run dirs): all three state tables _SUCCESS.
+    """
     best = None
     if not os.path.isdir(run_dir):
         return None
@@ -43,11 +51,11 @@ def last_complete_superstep(run_dir: str) -> int | None:
             continue
         n = int(name.split("=")[1])
         base = os.path.join(run_dir, name)
-        # frontier is absent after the final depth (no expansion): a snapshot
-        # is complete with pages+seen; frontier is read when present
-        if all(_complete(os.path.join(base, t)) for t in ["pages", "seen"]):
-            if best is None or n > best:
-                best = n
+        committed = os.path.exists(os.path.join(base, "_COMMIT")) or all(
+            _complete(os.path.join(base, t)) for t in ["pages", "seen", "frontier"]
+        )
+        if committed and (best is None or n > best):
+            best = n
     return best
 
 
