@@ -1,0 +1,73 @@
+"""Streaming sinks: byte parity with the legacy full-list renderers, and the
+pipeline's llms.txt bytes unchanged by the no-content-collect refactor."""
+
+import json
+
+from web2llmstxt_spark import schemas
+from web2llmstxt_spark.oracle.crawl_oracle import CrawlConfig
+from web2llmstxt_spark.operators.frontier import FrontierCrawler
+from web2llmstxt_spark.plans import pipeline
+from web2llmstxt_spark.sinks import writers
+from web2llmstxt_spark.sources.corpus import generate_corpus
+
+PAGES = [
+    {"title": f"Page {i}", "url": f"https://x.example/p{i}", "content": f"body text {i} " * 12}
+    for i in range(9)
+]
+META = {
+    "generated_at": "2026-08-16T00:00:00",
+    "model_used": "deterministic-fallback",
+    "total_pages_crawled": 9,
+    "processing_time_seconds": 1.23,
+    "max_full_text_pages": None,
+}
+
+
+def test_llms_full_stream_matches_render(tmp_path):
+    for max_full in (None, 4, 100):
+        meta = {**META, "max_full_text_pages": max_full}
+        path = str(tmp_path / f"full_{max_full}.txt")
+        writers.write_llms_full_stream(path, "https://x.example", iter(PAGES), len(PAGES), meta)
+        legacy = writers.render_llms_full_txt("https://x.example", PAGES, meta)
+        assert open(path, encoding="utf-8").read() == legacy, f"max_full={max_full}"
+
+
+def test_json_stream_valid(tmp_path):
+    entries = [
+        {"url": "https://x.example/p0", "title": "P", "description": "d",
+         "word_count": 5, "index": 1, "category": "Other Pages", "render_desc": "d"}
+    ]
+    path = str(tmp_path / "o.json")
+    writers.write_json_stream(path, entries, META, iter(PAGES))
+    data = json.load(open(path, encoding="utf-8"))
+    assert set(data) == {"metadata", "llms_entries", "full_content_pages"}
+    assert len(data["full_content_pages"]) == len(PAGES)
+    assert "render_desc" not in data["llms_entries"][0]
+    path2 = str(tmp_path / "o2.json")
+    writers.write_json_stream(path2, entries, META, None)
+    assert set(json.load(open(path2, encoding="utf-8"))) == {"metadata", "llms_entries"}
+
+
+def test_pipeline_llms_txt_bytes_match_legacy_render(spark, tmp_path):
+    """The streaming assembly (bounded collects + distributed render_desc)
+    must produce the exact bytes the legacy full-collect path produced."""
+    corpus = generate_corpus(seed=31, n_hosts=1, pages_per_host=25)
+    site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
+    result = pipeline.generate_llmstxt(
+        spark, site, "https://ex0.example/", str(tmp_path), max_pages=6,
+        generated_at="2026-08-16T00:00:00",
+    )
+    (path,) = result["paths"]
+    got = open(path, encoding="utf-8").read()
+
+    # legacy path: full pages (content included) collected test-side from an
+    # identical deterministic crawl
+    cfg = CrawlConfig(max_pages=6, safety_limit=6 * 5)
+    crawler = FrontierCrawler(spark, site, cfg, use_bloom=True)
+    pages_df, _ = crawler.crawl([(0, "https://ex0.example/")])
+    pages_full = [r.asDict() for r in pages_df.orderBy("rank").collect()]
+    entries = [{k: v for k, v in e.items() if k != "render_desc"} for e in result["entries"]]
+    legacy = writers.render_llms_txt(
+        "https://ex0.example/", entries, pages_full, result["metadata"]
+    )
+    assert got == legacy

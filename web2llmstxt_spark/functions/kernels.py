@@ -570,26 +570,35 @@ def calculate_text_similarity(text1: str, text2: str) -> float:
 # Site-level kernels (llms.txt assembly)
 # ---------------------------------------------------------------------------
 
+def site_name_from_title(base_url: str, main_title: str | None) -> str:
+    """H1 site name given the (already looked-up) main page title — the
+    scale-friendly entrypoint: callers fetch the one main-page title with a
+    filtered limit(1) instead of shipping all pages to the driver."""
+    if main_title:
+        t = clean_title(main_title)
+        if t and len(t) > 3:
+            return t
+    domain = extract_domain_from_url(base_url)
+    return domain.replace("_", " ").title() if domain != "unknown_domain" else "Website"
+
+
 def extract_site_name(base_url: str, pages: list[dict]) -> str:
     """H1 site name. Ref: llmsgen/utils/text_utils.py:224-235."""
+    main_title = None
     if pages:
         main = next(
             (p for p in pages if p.get("url") == base_url or p.get("url") == base_url.rstrip("/")),
             None,
         )
-        if main and main.get("title"):
-            t = clean_title(main["title"])
-            if t and len(t) > 3:
-                return t
-    domain = extract_domain_from_url(base_url)
-    return domain.replace("_", " ").title() if domain != "unknown_domain" else "Website"
+        if main:
+            main_title = main.get("title")
+    return site_name_from_title(base_url, main_title)
 
 
-def generate_site_summary(pages: list[dict], num_page_samples: int = 5) -> str:
-    """Blockquote summary. Ref: llmsgen/utils/text_utils.py:238-262."""
-    if not pages:
-        return "A website with various content and resources."
-    sample = " ".join(((p.get("content", "") or "")[:500]).lower() for p in pages[:num_page_samples])
+def site_summary_from_samples(samples: list[str]) -> str:
+    """Blockquote summary from the first pages' content[:500] samples — the
+    scale-friendly entrypoint (callers collect only limit(5) × 500 chars)."""
+    sample = " ".join((s or "").lower() for s in samples)
     if not sample.strip():
         return "A website with various content and resources."
     if any(k in sample for k in ["api", "documentation", "docs", "developer", "reference"]):
@@ -605,6 +614,13 @@ def generate_site_summary(pages: list[dict], num_page_samples: int = 5) -> str:
     if any(k in sample for k in ["about us", "company", "mission", "team"]):
         return "Information about the company, its mission, and team."
     return "A comprehensive website offering information and resources on various topics."
+
+
+def generate_site_summary(pages: list[dict], num_page_samples: int = 5) -> str:
+    """Blockquote summary. Ref: llmsgen/utils/text_utils.py:238-262."""
+    return site_summary_from_samples(
+        [(p.get("content", "") or "")[:500] for p in pages[:num_page_samples]]
+    )
 
 
 #: Category section order (dict insertion order of the reference).

@@ -43,14 +43,14 @@ import time
 import urllib.parse
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, StringType
 
 from ..functions import kernels, udfs
 from ..oracle.crawl_oracle import CrawlConfig
-from .bloom import bloom_prefilter
+from . import bloom
 
 
 @pandas_udf(StringType())
@@ -148,6 +148,15 @@ class FrontierCrawler:
         self.use_native_scorer = use_native_scorer
         self.run_id = run_id
         self.metrics: list[dict] = []
+        # incremental Bloom state (north rule "merged per superstep"): the
+        # accumulated per-bucket bitmaps; each superstep ORs in only the
+        # attempted-URL delta. Doubling rebuild when a bucket outgrows
+        # BITS_PER_KEY load. Counters exposed for tests/metrics.
+        self._bloom: DataFrame | None = None
+        self.bloom_m_bits = bloom.DEFAULT_M_BITS
+        self.bloom_rebuilds = 0
+        self.bloom_deltas = 0
+        self._bloom_rebuild_pending = False
         self.rules_by_host: dict = {}
         if cfg.enforce_robots and robots_rules:
             for host, _agent, rule, prefix in robots_rules:
@@ -208,6 +217,86 @@ class FrontierCrawler:
         that silently truncated resumed crawls)."""
         with open(os.path.join(self.run_dir, f"superstep={superstep}", "_COMMIT"), "w") as f:
             f.write("ok")
+
+    # ------------------------------------------------------- superstep state
+    def _advance_bloom(self, attempted_urls: DataFrame, seen_next: DataFrame):
+        """Next Bloom state as a lazy plan: OR in only this superstep's
+        attempted URLs (O(|delta|), the round-1 fix vs rebuilding from the
+        full seen table), or — when a bucket outgrew its load factor — a
+        doubling rebuild from seen (amortized O(log n) full scans total)."""
+        if self._bloom_rebuild_pending or self._bloom is None:
+            if self._bloom is not None:
+                self.bloom_m_bits *= 2
+                self.bloom_rebuilds += 1
+            self._bloom_rebuild_pending = False
+            return bloom.merge_bitmaps(
+                None, bloom.delta_bitmaps(seen_next, self.num_buckets, self.bloom_m_bits)
+            )
+        self.bloom_deltas += 1
+        delta = bloom.delta_bitmaps(attempted_urls, self.num_buckets, self.bloom_m_bits)
+        return bloom.merge_bitmaps(self._bloom, delta)
+
+    def _checkpoint_state(self, seen_df: DataFrame, frontier_df: DataFrame,
+                          bloom_df: DataFrame | None, tag) -> tuple:
+        """ONE combined checkpoint job for all superstep state (seen +
+        frontier + Bloom bitmaps share a 'kind' discriminator), with an
+        Observation riding the same job to return the frontier size and the
+        max per-bucket Bloom key count — no extra count() actions.
+
+        Returns (seen, frontier, bloom_state, frontier_count).
+        """
+        nulls = [
+            F.lit(None).cast("int").alias("bucket"),
+            F.lit(None).cast("binary").alias("bitmap"),
+            F.lit(None).cast("long").alias("n_keys"),
+        ]
+        seen_part = seen_df.select(
+            F.lit("seen").alias("kind"),
+            "url",
+            F.lit(None).cast("int").alias("seed_id"),
+            F.lit(None).cast("string").alias("base_url"),
+            F.lit(None).cast("string").alias("base_domain"),
+            *nulls,
+        )
+        frontier_part = frontier_df.select(
+            F.lit("frontier").alias("kind"),
+            "url", "seed_id", "base_url", "base_domain",
+            *nulls,
+        )
+        parts = seen_part.unionByName(frontier_part)
+        if bloom_df is not None:
+            parts = parts.unionByName(
+                bloom_df.select(
+                    F.lit("bloom").alias("kind"),
+                    F.lit(None).cast("string").alias("url"),
+                    F.lit(None).cast("int").alias("seed_id"),
+                    F.lit(None).cast("string").alias("base_url"),
+                    F.lit(None).cast("string").alias("base_domain"),
+                    "bucket", "bitmap", "n_keys",
+                )
+            )
+        obs = Observation(f"state_{self.run_id}_{tag}")
+        parts = parts.observe(
+            obs,
+            F.sum(F.when(F.col("kind") == "frontier", 1).otherwise(0)).alias("frontier_n"),
+            F.max(F.when(F.col("kind") == "bloom", F.col("n_keys"))).alias("bloom_max_keys"),
+        )
+        state = parts.localCheckpoint(eager=True)
+        m = obs.get
+        seen = state.filter(F.col("kind") == "seen").select("url")
+        frontier = state.filter(F.col("kind") == "frontier").select(
+            "url", "seed_id", "base_url", "base_domain"
+        )
+        bloom_state = None
+        if bloom_df is not None:
+            bloom_state = state.filter(F.col("kind") == "bloom").select(
+                "bucket", "bitmap", "n_keys"
+            )
+            mk = m.get("bloom_max_keys")
+            if mk is not None and bloom.needs_rebuild(int(mk), self.bloom_m_bits):
+                self._bloom_rebuild_pending = True
+        frontier_count = int(m["frontier_n"]) if m.get("frontier_n") is not None else 0
+        return seen, frontier, bloom_state, frontier_count
 
     # --------------------------------------------------------- distributed rank
     def _with_global_rank(self, df: DataFrame, order, rank_col: str,
@@ -300,6 +389,11 @@ class FrontierCrawler:
             "seed_id",
         ]
         start_depth = 1
+        # Known frontier size from the last state checkpoint's Observation:
+        # lets the budget cut be SKIPPED without a count job whenever
+        # |frontier| <= remaining (cand ⊆ frontier). None = unknown (durable
+        # snapshot modes) -> fall back to the explicit count.
+        frontier_count: int | None = None
         if _resume is not None:
             last, pages, seen, frontier = _resume
             pages_count = pages.count()
@@ -307,6 +401,10 @@ class FrontierCrawler:
             if frontier is None or last >= cfg.depth_limit:
                 return self._finalize(all_pages), seen
             start_depth = last + 1
+            if self.use_bloom:  # resume: rebuild bitmaps from seen ONCE
+                self._bloom = bloom.merge_bitmaps(
+                    None, bloom.delta_bitmaps(seen, self.num_buckets, self.bloom_m_bits)
+                ).localCheckpoint(eager=True)
         elif self.run_dir is not None:
             pages = self._snapshot(main.select(*pages_cols), "pages", 0)
             pages_count = pages.count()
@@ -314,11 +412,21 @@ class FrontierCrawler:
             frontier = self._snapshot(self._new_links(main, from_depth=0), "frontier", 0)
             self._commit_superstep(0)
             all_pages = [pages]
+            if self.use_bloom:
+                self._bloom = bloom.merge_bitmaps(
+                    None, bloom.delta_bitmaps(seen, self.num_buckets, self.bloom_m_bits)
+                ).localCheckpoint(eager=True)
         else:
             pages = main.select(*pages_cols).persist()
             pages_count = pages.count()
-            seen = pages.select("url")
-            frontier = self._new_links(main, from_depth=0)
+            bloom0 = None
+            if self.use_bloom:
+                bloom0 = bloom.delta_bitmaps(
+                    pages.select("url"), self.num_buckets, self.bloom_m_bits
+                )
+            seen, frontier, self._bloom, frontier_count = self._checkpoint_state(
+                pages.select("url"), self._new_links(main, from_depth=0), bloom0, 0
+            )
             all_pages = [pages]
 
         # --- supersteps (ref :211-246 (pyc)) --------------------------------
@@ -329,8 +437,11 @@ class FrontierCrawler:
             remaining = budget - pages_count
 
             if self.use_bloom:
-                # Bloom fast path + exact check on maybes == exact anti-join
-                cand = bloom_prefilter(frontier, seen, self.num_buckets)
+                # Bloom fast path + exact check on maybes == exact anti-join;
+                # bitmaps are accumulated state, NOT rebuilt from seen
+                cand = bloom.prefilter_with_state(
+                    frontier, self._bloom, seen, self.num_buckets
+                )
             else:
                 cand = frontier.join(seen, "url", "left_anti")  # J1 exact
 
@@ -373,13 +484,20 @@ class FrontierCrawler:
                 )
             else:
                 # :220 slice — but only pay for the distributed top-k when
-                # the cut can actually bite (usually one superstep per crawl)
-                cand = cand.localCheckpoint(eager=True)
-                if cand.count() > remaining:
-                    ranked = self._with_global_rank(cand, order, "__r")
-                    todo = ranked.filter(F.col("__r") <= remaining).drop("__r")
-                else:
+                # the cut can actually bite (usually one superstep per crawl).
+                # cand ⊆ frontier, so when the last checkpoint observed
+                # |frontier| <= remaining the cut CANNOT bite and the whole
+                # count/checkpoint detour is skipped (zero extra jobs on the
+                # common path).
+                if frontier_count is not None and frontier_count <= remaining:
                     todo = cand
+                else:
+                    cand = cand.localCheckpoint(eager=True)
+                    if cand.count() > remaining:
+                        ranked = self._with_global_rank(cand, order, "__r")
+                        todo = ranked.filter(F.col("__r") <= remaining).drop("__r")
+                    else:
+                        todo = cand
                 attempted = self.fetcher.fetch(todo)
             attempted = attempted.persist()
             # the ONE action of this superstep: materializes the whole chain
@@ -417,32 +535,26 @@ class FrontierCrawler:
                 fresh = links.join(frontier, "url", "left_anti")
                 frontier_next = frontier.unionByName(fresh)
 
+            bloom_next = (
+                self._advance_bloom(attempted.select("url"), seen_next)
+                if self.use_bloom
+                else None
+            )
             if self.run_dir is not None:
                 # resumable layout: one parquet per state table
                 new_pages = self._snapshot(new_pages, "pages", depth)
                 seen = self._snapshot(seen_next, "seen", depth)
                 frontier = self._snapshot(frontier_next, "frontier", depth)
+                if bloom_next is not None:
+                    self._bloom = bloom_next.localCheckpoint(eager=True)
             else:
-                # ONE combined checkpoint job for both state tables (seen +
-                # frontier share a 'kind' discriminator); pages stay lazy on
-                # the cached attempt set and materialize once at the end —
-                # 2 jobs per superstep total instead of 4
-                state = seen_next.select(
-                    F.lit("seen").alias("kind"),
-                    "url",
-                    F.lit(None).cast("int").alias("seed_id"),
-                    F.lit(None).cast("string").alias("base_url"),
-                    F.lit(None).cast("string").alias("base_domain"),
-                ).unionByName(
-                    frontier_next.select(
-                        F.lit("frontier").alias("kind"),
-                        "url", "seed_id", "base_url", "base_domain",
-                    )
-                )
-                state = state.localCheckpoint(eager=True)
-                seen = state.filter(F.col("kind") == "seen").select("url")
-                frontier = state.filter(F.col("kind") == "frontier").select(
-                    "url", "seed_id", "base_url", "base_domain"
+                # ONE combined checkpoint job for ALL state tables (seen +
+                # frontier + Bloom bitmaps share a 'kind' discriminator) with
+                # an Observation returning |frontier| for free; pages stay
+                # lazy on the cached attempt set and materialize once at the
+                # end — 2 jobs per superstep total on the common path
+                seen, frontier, self._bloom, frontier_count = self._checkpoint_state(
+                    seen_next, frontier_next, bloom_next, depth
                 )
                 new_pages = new_pages.persist()
             all_pages.append(new_pages)
@@ -455,6 +567,9 @@ class FrontierCrawler:
                     "pages_kept": added,
                     "pages_total": pages_count,
                     "wall_ms": int((time.time() - t0) * 1000),
+                    "bloom_deltas": self.bloom_deltas,
+                    "bloom_rebuilds": self.bloom_rebuilds,
+                    "bloom_m_bits": self.bloom_m_bits,
                 }
             )
             if self.run_dir is not None:

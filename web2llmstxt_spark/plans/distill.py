@@ -51,10 +51,29 @@ def categorize_entries(entries: DataFrame, pages: DataFrame) -> DataFrame:
     # AQE broadcasts it anyway when it is actually small.
     content_map = pages.select("url", F.col("content").alias("page_content"))
     joined = entries.join(content_map, "url", "left")
-    return joined.withColumn(
-        "category",
-        udfs.categorize_udf(F.col("url"), F.col("title"), F.col("page_content")),
-    ).drop("page_content")
+    # render_desc: the sink's description fallback (file_utils.py:124-130),
+    # computed HERE so llms.txt assembly never needs page content on the
+    # driver (sinks/writers.final_description is the Python twin).
+    pc = F.coalesce(F.col("page_content"), F.lit(""))
+    words = F.filter(F.split(pc, r"\s+"), lambda t: t != F.lit(""))
+    fallback = F.when(
+        F.length(pc) > 0,
+        F.concat(F.array_join(F.slice(words, 1, 30), " "), F.lit("...")),
+    ).otherwise(F.lit("No content available."))
+    render_desc = F.when(
+        F.col("description").isNull()
+        | (F.col("description") == "")
+        | (F.col("description") == FULL_TEXT_ONLY_DESC),
+        fallback,
+    ).otherwise(F.col("description"))
+    return (
+        joined.withColumn(
+            "category",
+            udfs.categorize_udf(F.col("url"), F.col("title"), F.col("page_content")),
+        )
+        .withColumn("render_desc", render_desc)
+        .drop("page_content")
+    )
 
 
 def depth_histogram(pages: DataFrame) -> DataFrame:

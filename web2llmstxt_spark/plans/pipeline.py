@@ -10,7 +10,7 @@ from __future__ import annotations
 import time
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import kernels
 from ..oracle.crawl_oracle import CrawlConfig
@@ -57,19 +57,42 @@ def generate_llmstxt(
     )
     pages_df, _seen = crawler.crawl(seeds or [(0, base_url)])
     pages_df = pages_df.persist()
+    n_pages = pages_df.count()
 
     entries_df = distill.describe_pages(pages_df, full_text_only=full_text_only)
     entries_df = distill.categorize_entries(entries_df, pages_df)
 
-    pages = [r.asDict() for r in pages_df.orderBy("rank").collect()]
+    # Driver materialization is BOUNDED (round-1 fix): entries carry no page
+    # content (render_desc fallbacks were computed distributed), the site
+    # name/summary need one title + five 500-char samples, and llms-full.txt
+    # streams through toLocalIterator inside the sink. Page CONTENT never
+    # accumulates on the driver at any budget.
     entries = [r.asDict() for r in entries_df.orderBy("index").collect()]
-    pages_df.unpersist()
+    main_title_rows = (
+        pages_df.filter(
+            (F.col("url") == base_url) | (F.col("url") == base_url.rstrip("/"))
+        )
+        .select("title")
+        .limit(1)
+        .collect()
+    )
+    site_name = kernels.site_name_from_title(
+        base_url, main_title_rows[0]["title"] if main_title_rows else None
+    )
+    head_samples = [
+        r["c"]
+        for r in pages_df.orderBy("rank")
+        .select(F.substring(F.coalesce("content", F.lit("")), 1, 500).alias("c"))
+        .limit(5)
+        .collect()
+    ]
+    site_summary = kernels.site_summary_from_samples(head_samples)
 
     generated_at = generated_at or datetime.now(timezone.utc).isoformat()
     metadata = {  # 15 keys, ref llmsgen/generator/llms_generator.py:194 (pyc)
         "source_url": base_url,
         "domain": kernels.extract_domain_from_url(base_url),
-        "total_pages_crawled": len(pages),
+        "total_pages_crawled": n_pages,
         "total_entries_processed": len(entries),
         "generated_at": generated_at,
         "model_used": "deterministic-fallback",
@@ -87,10 +110,20 @@ def generate_llmstxt(
         output_dir,
         base_url,
         entries,
-        pages,
         metadata,
         export_format,
         include_full_text,
         full_text_only,
+        pages_df=pages_df,
+        site_name=site_name,
+        site_summary=site_summary,
     )
+    # bounded per-page summaries (no content) for callers/tests
+    pages = [
+        r.asDict()
+        for r in pages_df.orderBy("rank")
+        .select("rank", "url", "title", "word_count", "score", "depth", "discovery_phase")
+        .collect()
+    ]
+    pages_df.unpersist()
     return {"paths": paths, "metadata": metadata, "entries": entries, "pages": pages}

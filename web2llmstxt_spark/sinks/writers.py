@@ -2,16 +2,25 @@
 
 Reference: ``llmsgen/utils/file_utils.py:94-222`` (write_text_output /
 write_json_output / write_yaml_output / write_output_files), golden example
-``/root/reference/output/example.com-llms.txt``. The final artifacts are
-driver-side text files bounded by the crawl budget, so assembly happens on
-collected entry/page lists (the heavy lifting — describe/categorize — ran
-distributed in plans/distill.py).
+``/root/reference/output/example.com-llms.txt``.
+
+Scale design (round-1 fix): the final artifacts are single driver-side text
+files, but their ASSEMBLY must not materialize page CONTENT on the driver.
+
+- llms.txt needs only the bounded entries projection (url/title/description/
+  category — one rendered bullet per entry, inherently driver-sized) plus a
+  five-sample site summary; the per-entry content fallback is computed
+  DISTRIBUTED in plans/distill.py (``render_desc``).
+- llms-full.txt streams rank-ordered pages through ``toLocalIterator()`` —
+  one partition in driver memory at a time, never the full corpus.
+- JSON with ``include_full_text`` streams ``full_content_pages`` row by row.
 """
 
 from __future__ import annotations
 
 import json
 import os
+from typing import Iterable, Iterator
 
 from ..functions import kernels
 
@@ -23,22 +32,34 @@ except ImportError:  # pragma: no cover
     _HAS_YAML = False
 
 
-def render_llms_txt(base_url: str, entries: list[dict], pages: list[dict], metadata: dict) -> str:
-    """The llms.txt spec document. Ref: llmsgen/utils/file_utils.py:107-136.
+def final_description(desc: str | None, page_content: str | None) -> str:
+    """The render-time description fallback (ref file_utils.py:124-130)."""
+    if desc == "N/A (full_text_only mode)" or not desc:
+        return (
+            " ".join((page_content or "").split()[:30]) + "..."
+            if page_content
+            else "No content available."
+        )
+    return desc
 
-    ``entries`` must carry ``category`` (plans/distill.categorize_entries) and
-    arrive in crawl order; sections appear in the reference's dict insertion
-    order (kernels.CATEGORY_ORDER), entries in order within each.
-    """
+
+def render_llms_txt_prepared(
+    site_name: str,
+    site_summary: str,
+    entries: list[dict],
+    metadata: dict,
+) -> str:
+    """llms.txt from PREPARED inputs: site name/summary already computed from
+    bounded samples, entries carrying their final description (``render_desc``
+    if present, else ``description`` — fallbacks pre-applied distributed).
+    Byte-identical to the legacy list-based renderer."""
     out = []
-    site_name = kernels.extract_site_name(base_url, pages)
     out.append(f"# {site_name}\n")
-    out.append(f"> {kernels.generate_site_summary(pages)}\n")
-    total = metadata.get("total_pages_crawled", len(pages))
+    out.append(f"> {site_summary}\n")
+    total = metadata.get("total_pages_crawled", len(entries))
     generated_date = metadata.get("generated_at", "").split("T")[0]
     out.append(f"Generated from {total} pages on {generated_date} using automated crawling.\n")
 
-    content_map = {p.get("url"): p.get("content", "") for p in pages}
     by_cat: dict[str, list[dict]] = {}
     for e in entries:
         by_cat.setdefault(e["category"], []).append(e)
@@ -48,21 +69,80 @@ def render_llms_txt(base_url: str, entries: list[dict], pages: list[dict], metad
         out.append(f"## {category}\n")
         lines = []
         for e in by_cat[category]:
-            desc = e.get("description", "N/A")
-            if desc == "N/A (full_text_only mode)" or not desc:
-                page_content = content_map.get(e.get("url", ""), "")
-                desc = (
-                    " ".join(page_content.split()[:30]) + "..."
-                    if page_content
-                    else "No content available."
-                )
+            desc = e.get("render_desc") or final_description(e.get("description"), None)
             lines.append(f"- [{e.get('title', 'Untitled')}]({e.get('url', '#')}): {desc}")
         out.append("\n".join(lines) + "\n")
     return "\n".join(out)
 
 
+def render_llms_txt(base_url: str, entries: list[dict], pages: list[dict], metadata: dict) -> str:
+    """The llms.txt spec document from in-memory lists (golden-tested twin of
+    ref llmsgen/utils/file_utils.py:107-136). Production path: compute
+    ``render_desc`` distributed and call ``render_llms_txt_prepared``."""
+    content_map = {p.get("url"): p.get("content", "") for p in pages}
+    prepared = [
+        {**e, "render_desc": final_description(e.get("description"), content_map.get(e.get("url", ""), ""))}
+        for e in entries
+    ]
+    metadata = {**metadata, "total_pages_crawled": metadata.get("total_pages_crawled", len(pages))}
+    return render_llms_txt_prepared(
+        kernels.extract_site_name(base_url, pages),
+        kernels.generate_site_summary(pages),
+        prepared,
+        metadata,
+    )
+
+
+class _JoinWriter:
+    """Writes elements joined by newline ("\\n".join semantics, streamed)."""
+
+    def __init__(self, f):
+        self.f = f
+        self.first = True
+
+    def emit(self, element: str) -> None:
+        if not self.first:
+            self.f.write("\n")
+        self.f.write(element)
+        self.first = False
+
+
+def write_llms_full_stream(
+    path: str,
+    base_url: str,
+    pages_iter: Iterable,
+    total_pages: int,
+    metadata: dict,
+) -> None:
+    """Stream llms-full.txt (ref file_utils.py:139-160) from a rank-ordered
+    iterator of rows/dicts with (title, url, content). Byte-identical to the
+    legacy full-list renderer; driver memory = one Arrow partition."""
+    max_full = metadata.get("max_full_text_pages")
+    n_write = total_pages if max_full is None else min(total_pages, max_full)
+    with open(path, "w", encoding="utf-8") as f:
+        w = _JoinWriter(f)
+        w.emit(f"# {base_url} llms-full.txt")
+        w.emit(
+            f"# Generated on {metadata.get('generated_at', '')} using {metadata.get('model_used', 'N/A')}"
+        )
+        w.emit(f"# Total pages crawled: {metadata.get('total_pages_crawled', total_pages)}")
+        w.emit(f"# Processing time: {metadata.get('processing_time_seconds', 'N/A')}s")
+        if max_full is not None and total_pages > max_full:
+            w.emit(f"# Displaying {n_write} of {total_pages} crawled pages due to limit.")
+        w.emit("")
+        for i, page in enumerate(pages_iter, 1):
+            if i > n_write:
+                break
+            d = page if isinstance(page, dict) else page.asDict()
+            w.emit(f"## Page {i}: {d.get('title', 'Untitled')}")
+            w.emit(f"**URL:** {d.get('url', '#')}\n")
+            w.emit(d.get("content", "No content available."))
+            w.emit("\n---\n")
+
+
 def render_llms_full_txt(base_url: str, pages: list[dict], metadata: dict) -> str:
-    """Ref: llmsgen/utils/file_utils.py:139-160."""
+    """Legacy list-based llms-full renderer (kept as the byte-parity twin of
+    ``write_llms_full_stream``; see tests/test_sinks_stream.py)."""
     out = [
         f"# {base_url} llms-full.txt",
         f"# Generated on {metadata.get('generated_at', '')} using {metadata.get('model_used', 'N/A')}",
@@ -85,36 +165,79 @@ def render_llms_full_txt(base_url: str, pages: list[dict], metadata: dict) -> st
     return "\n".join(out)
 
 
+def _entry_public(e: dict) -> dict:
+    return {k: v for k, v in e.items() if k != "render_desc"}
+
+
+def write_json_stream(
+    path: str,
+    entries: list[dict],
+    metadata: dict,
+    full_pages_iter: Iterator | None,
+) -> None:
+    """JSON sink; ``full_content_pages`` (when requested) streams row by row
+    so page content never accumulates on the driver."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write('{\n"metadata": ')
+        json.dump(metadata, f, indent=2, ensure_ascii=False)
+        f.write(',\n"llms_entries": ')
+        json.dump([_entry_public(e) for e in entries], f, indent=2, ensure_ascii=False)
+        if full_pages_iter is not None:
+            f.write(',\n"full_content_pages": [')
+            first = True
+            for row in full_pages_iter:
+                d = row if isinstance(row, dict) else row.asDict()
+                f.write(("" if first else ",") + "\n")
+                json.dump(d, f, ensure_ascii=False)
+                first = False
+            f.write("\n]")
+        f.write("\n}")
+
+
 def write_output_files(
     output_dir: str,
     base_url: str,
     entries: list[dict],
-    pages: list[dict],
     metadata: dict,
     export_format: str = "text",
     include_full_text: bool = False,
     full_text_only: bool = False,
+    pages_df=None,
+    site_name: str | None = None,
+    site_summary: str | None = None,
 ) -> list[str]:
     """Dispatch on format (ref llmsgen/utils/file_utils.py:204-222); returns
-    written paths."""
+    written paths. ``pages_df`` (rank-ordered crawl output) is only streamed,
+    never collected."""
     os.makedirs(output_dir, exist_ok=True)
     domain = kernels.extract_domain_from_url(base_url)
     written = []
     fmt = export_format.lower()
+    total_pages = metadata.get("total_pages_crawled", 0)
+
+    def full_pages_iter():
+        return (
+            pages_df.orderBy("rank")
+            .select("title", "url", "content")
+            .toLocalIterator()
+        )
+
     if fmt == "json":
-        data = {"metadata": metadata, "llms_entries": entries}
-        if include_full_text:
-            data["full_content_pages"] = pages
         path = os.path.join(output_dir, f"{domain}-llms.json")
-        with open(path, "w", encoding="utf-8") as f:
-            json.dump(data, f, indent=2, ensure_ascii=False)
+        write_json_stream(
+            path, entries, metadata, full_pages_iter() if include_full_text else None
+        )
         written.append(path)
     elif fmt == "yaml":
         if not _HAS_YAML:
             raise NotImplementedError("pyyaml not available in this environment")
-        data = {"metadata": metadata, "llms_entries": entries}
+        data = {"metadata": metadata, "llms_entries": [_entry_public(e) for e in entries]}
         if include_full_text:
-            data["full_content_pages"] = pages
+            # yaml has no incremental dump API worth the complexity; full-page
+            # yaml export is a debugging format, bounded by the explicit
+            # max_full_text_pages budget
+            data["full_content_pages"] = [r.asDict() for r in
+                                          list(full_pages_iter())[: metadata.get("max_full_text_pages") or None]]
         path = os.path.join(output_dir, f"{domain}-llms.yaml")
         with open(path, "w", encoding="utf-8") as f:
             yaml.dump(data, f, default_flow_style=False, allow_unicode=True, indent=2)
@@ -123,11 +246,17 @@ def write_output_files(
         if not full_text_only:
             path = os.path.join(output_dir, f"{domain}-llms.txt")
             with open(path, "w", encoding="utf-8") as f:
-                f.write(render_llms_txt(base_url, entries, pages, metadata))
+                f.write(
+                    render_llms_txt_prepared(
+                        site_name or kernels.site_name_from_title(base_url, None),
+                        site_summary or kernels.site_summary_from_samples([]),
+                        entries,
+                        metadata,
+                    )
+                )
             written.append(path)
         if include_full_text or full_text_only:
             path = os.path.join(output_dir, f"{domain}-llms-full.txt")
-            with open(path, "w", encoding="utf-8") as f:
-                f.write(render_llms_full_txt(base_url, pages, metadata))
+            write_llms_full_stream(path, base_url, full_pages_iter(), total_pages, metadata)
             written.append(path)
     return written
