@@ -1,0 +1,100 @@
+"""T4 description cache: check-before-generate + write-through.
+
+Gate from VERDICT r1 #7: a second identical run computes 0 new descriptions,
+and cached output is byte-identical to uncached output.
+"""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from web2llmstxt_spark import schemas
+from web2llmstxt_spark.plans.pipeline import generate_llmstxt
+from web2llmstxt_spark.sources.corpus import generate_corpus
+from web2llmstxt_spark.state.desc_cache import cache_key_col
+
+
+def _site(spark, corpus):
+    return spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
+
+
+def test_cache_key_matches_reference_formula(spark):
+    """Spark cache_key == Python f"{url}:{md5(f'{title}|||{content[:1000]}')}"
+    (models/client.py:68-78), incl. unicode + >1000-char content."""
+    rows = [
+        ("https://a.example/x", "Tïtle", "wörd " * 400),  # 2000 chars, unicode
+        ("https://a.example/y", "", "short"),
+        ("https://a.example/z", None, None),
+    ]
+    df = spark.createDataFrame(rows, "url string, title string, content string")
+    got = {
+        r["url"]: r["k"]
+        for r in df.select(
+            "url", cache_key_col(F.col("url"), F.col("title"), F.col("content")).alias("k")
+        ).collect()
+    }
+    for url, title, content in rows:
+        s = f"{title or ''}|||{(content or '')[:1000]}"
+        want = f"{url}:{hashlib.md5(s.encode('utf-8')).hexdigest()}"
+        assert got[url] == want, url
+
+
+def test_second_run_computes_zero_descriptions(spark, tmp_path):
+    corpus = generate_corpus(seed=41, n_hosts=1, pages_per_host=25)
+    base = corpus.seeds[0][1]
+    site = _site(spark, corpus)
+    cache_dir = str(tmp_path / "desc_cache")
+
+    r_nocache = generate_llmstxt(spark, site, base, str(tmp_path / "o0"), max_pages=8)
+    r1 = generate_llmstxt(
+        spark, site, base, str(tmp_path / "o1"), max_pages=8, desc_cache_dir=cache_dir
+    )
+    r2 = generate_llmstxt(
+        spark, site, base, str(tmp_path / "o2"), max_pages=8, desc_cache_dir=cache_dir
+    )
+    assert r1["desc_cache_new"] == len(r1["entries"]) > 0  # cold: all computed
+    assert r2["desc_cache_new"] == 0                       # warm: zero computed
+    # cached == recomputed, byte-for-byte, in the same order
+    key = lambda r: [(e["url"], e["description"], e["index"]) for e in r["entries"]]
+    assert key(r1) == key(r2) == key(r_nocache)
+
+
+def test_content_change_invalidates_entry(spark, tmp_path):
+    """Editing a page's content flips its md5 -> exactly the edited pages
+    recompute (the cache-key contract, models/client.py:70)."""
+    corpus = generate_corpus(seed=43, n_hosts=1, pages_per_host=25)
+    base = corpus.seeds[0][1]
+    site = _site(spark, corpus)
+    cache_dir = str(tmp_path / "cache")
+
+    r1 = generate_llmstxt(
+        spark, site, base, str(tmp_path / "a"), max_pages=6, desc_cache_dir=cache_dir
+    )
+    # mutate ONE crawled page's first span text (changes content[:1000])
+    target = r1["entries"][0]["url"]
+    mutated = site.withColumn(
+        "spans",
+        F.when(
+            F.col("url") == target,
+            F.transform(
+                "spans",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    F.concat(F.lit("EDITED "), s["text"]).alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ),
+        ).otherwise(F.col("spans")),
+    )
+    r2 = generate_llmstxt(
+        spark, mutated, base, str(tmp_path / "b"), max_pages=6, desc_cache_dir=cache_dir
+    )
+    # exactly ONE page recomputes (the edit); every unedited page is a hit
+    assert r2["desc_cache_new"] == 1
+    # both the old and the new content-hash key for the edited url are now in
+    # the table (write-through appended, didn't clobber)
+    cache_rows = spark.read.parquet(cache_dir).collect()
+    target_keys = [r.cache_key for r in cache_rows if r.cache_key.startswith(f"{target}:")]
+    assert len(target_keys) == 2
+    assert len(cache_rows) == len(r1["entries"]) + 1

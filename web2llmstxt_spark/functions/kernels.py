@@ -225,6 +225,45 @@ def is_valid_domain_url(url: str, valid_domains: set[str]) -> bool:
         return False
 
 
+#: The v2 BestFirst keyword list (C3 stand-in). Verbatim constants from
+#: ``crawl_website`` (llmsgen/crawler/web_crawler.py:251+ (pyc) const tuple);
+#: the 24th keyword is the per-site domain name, appended at call time.
+BESTFIRST_KEYWORDS = (
+    "documentation", "guide", "tutorial", "api", "reference",
+    "blog", "article", "news", "feature", "product", "service",
+    "about", "contact", "help", "support", "changelog", "release",
+    "tools", "resources", "pricing", "plans", "download", "install",
+)
+
+
+def domain_name_from_url(base_url: str) -> str:
+    """``parsed.netloc.replace('www.','').split('.')[0]`` — the domain-name
+    keyword the reference appends to the BestFirst scorer list
+    (llmsgen/crawler/web_crawler.py:251+ (pyc): consts 'www.', '', '.', 0)."""
+    return urllib.parse.urlparse(base_url).netloc.replace("www.", "").split(".")[0]
+
+
+def bestfirst_keywords(base_url: str) -> tuple[str, ...]:
+    """The full 24-keyword BestFirst list for a site."""
+    return BESTFIRST_KEYWORDS + (domain_name_from_url(base_url),)
+
+
+def keyword_relevance_score(url: str, keywords: tuple[str, ...], weight: float = 1.0) -> float:
+    """Deterministic stand-in for crawl4ai's ``KeywordRelevanceScorer``
+    (external library, C3): fraction of keywords appearing as substrings of
+    the lowercased URL, times ``weight``. The reference delegates BestFirst
+    ordering to this scorer (crawler/web_crawler.py:231-236 v1;
+    llmsgen/crawler/web_crawler.py:251+ (pyc) with weight=1.0); the
+    substring-hit-fraction form is the library's documented public behavior,
+    reimplemented here so ordering is reproducible without the dependency.
+    """
+    if not keywords:
+        return 0.0
+    u = (url or "").lower()
+    hits = sum(1 for k in keywords if k in u)
+    return weight * (hits / len(keywords))
+
+
 def make_absolute_url(href: str, base_url: str) -> str:
     """L4. Ref: crawler/web_crawler.py:634-642."""
     try:

@@ -106,6 +106,22 @@ def categorize_native(url: Column, title: Column, content: Column) -> Column:
     )
 
 
+def keyword_hits_native(url: Column, keywords) -> Column:
+    """Number of BestFirst keywords appearing as substrings of lower(url) —
+    the integer numerator of kernels.keyword_relevance_score (C3 stand-in,
+    llmsgen/crawler/web_crawler.py:251+ (pyc) keyword consts)."""
+    ul = F.lower(url)
+    hits = F.lit(0)
+    for k in keywords:
+        hits = hits + F.when(ul.contains(k.lower()), 1).otherwise(0)
+    return hits
+
+
+def keyword_score_native(url: Column, keywords, weight: float = 1.0) -> Column:
+    """Column twin of kernels.keyword_relevance_score (hit fraction x weight)."""
+    return keyword_hits_native(url, keywords).cast("double") / F.lit(float(len(keywords))) * F.lit(weight)
+
+
 # ------------------------------------------------------------------ SQL twins
 # DuckDB translations for the driver's oracle (ANSI-ish SQL). The scorer SQL
 # replicates C1 branch-for-branch so the oracle check covers the real
@@ -142,6 +158,14 @@ def score_url_sql(url_expr: str, base_url_literal: str) -> str:
         f" + (CASE WHEN {query_pen} THEN -2.0 ELSE 0.0 END)"
     )
     return f"(CASE WHEN {asset} THEN 0.0 ELSE greatest(0.1, {score}) END)"
+
+
+def keyword_hits_sql(url_expr: str, keywords) -> str:
+    """DuckDB twin of keyword_hits_native."""
+    ul = f"lower({url_expr})"
+    return "(" + " + ".join(
+        f"(CASE WHEN contains({ul}, '{k.lower()}') THEN 1 ELSE 0 END)" for k in keywords
+    ) + ")"
 
 
 def categorize_sql(url_expr: str, title_expr: str, content_expr: str) -> str:

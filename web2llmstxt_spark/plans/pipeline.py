@@ -36,8 +36,18 @@ def generate_llmstxt(
     run_dir: str | None = None,
     generated_at: str | None = None,
     seeds: list[tuple[int, str]] | None = None,
+    crawl_strategy: str = "systematic",
+    bestfirst_batch_size: int = 10,
+    desc_cache_dir: str | None = None,
 ) -> dict:
-    """Returns {'paths': [...], 'metadata': {...}, 'entries': [...], 'pages': [...]}."""
+    """Returns {'paths': [...], 'metadata': {...}, 'entries': [...], 'pages': [...]}.
+
+    ``crawl_strategy`` mirrors the v2 dispatch (llmsgen/generator/
+    llms_generator.py:138-209 (pyc) names ``discover_all_links_first`` AND
+    ``crawl_website``): 'systematic' -> the BFS frontier engine;
+    'bestfirst' -> the keyword-relevance BestFirst engine
+    (operators/bestfirst.py), budget = the derived actual_max_pages.
+    """
     start = time.time()
     # ref :169 (pyc): 3x page budget when full text requested
     actual_max_pages = max_pages * 3 if (full_text_only or include_full_text) else max_pages
@@ -45,21 +55,44 @@ def generate_llmstxt(
     calculated_safety_limit = safety_limit or actual_max_pages * (10 if full_text_only else 5)
     comprehensive = full_text_only or include_full_text  # ref :175 (pyc)
 
-    cfg = CrawlConfig(
-        max_pages=actual_max_pages,
-        comprehensive=comprehensive,
-        safety_limit=calculated_safety_limit,
-        enforce_robots=enforce_robots,
-        host_caps=host_caps,
-    )
-    crawler = FrontierCrawler(
-        spark, site_pages, cfg, robots_rules=robots_rules, run_dir=run_dir, use_bloom=True
-    )
-    pages_df, _seen = crawler.crawl(seeds or [(0, base_url)])
+    if crawl_strategy == "bestfirst":
+        from ..operators.bestfirst import BestFirstCrawler
+
+        bf = BestFirstCrawler(
+            spark, site_pages, base_url,
+            max_pages=actual_max_pages, batch_size=bestfirst_batch_size,
+        )
+        pages_df, _seen = bf.crawl()
+    else:
+        cfg = CrawlConfig(
+            max_pages=actual_max_pages,
+            comprehensive=comprehensive,
+            safety_limit=calculated_safety_limit,
+            enforce_robots=enforce_robots,
+            host_caps=host_caps,
+        )
+        crawler = FrontierCrawler(
+            spark, site_pages, cfg, robots_rules=robots_rules, run_dir=run_dir, use_bloom=True
+        )
+        pages_df, _seen = crawler.crawl(seeds or [(0, base_url)])
     pages_df = pages_df.persist()
     n_pages = pages_df.count()
 
-    entries_df = distill.describe_pages(pages_df, full_text_only=full_text_only)
+    desc_cache_new = None
+    if desc_cache_dir is not None and not full_text_only:
+        # T4 check-before-generate (models/client.py:68-92): hits reuse the
+        # stored description, only misses compute; write-through after.
+        from ..state.desc_cache import DescriptionCache, describe_with_cache
+
+        cache = DescriptionCache(spark, desc_cache_dir)
+        entries_df, new_cache = describe_with_cache(pages_df, cache.load())
+        # materialize BEFORE write-through: entries lazily reference the OLD
+        # cache files, which merge_and_save is about to overwrite (entries
+        # carry no page content, so this checkpoint is bounded)
+        entries_df = entries_df.localCheckpoint(eager=True)
+        desc_cache_new = cache.merge_and_save(new_cache)
+    else:
+        entries_df = distill.describe_pages(pages_df, full_text_only=full_text_only)
     entries_df = distill.categorize_entries(entries_df, pages_df)
 
     # Driver materialization is BOUNDED (round-1 fix): entries carry no page
@@ -103,7 +136,7 @@ def generate_llmstxt(
         "parallel_workers": None,
         "max_full_text_pages": max_full_text_pages,
         "full_text_only_mode": full_text_only,
-        "crawl_strategy_used": "systematic",
+        "crawl_strategy_used": crawl_strategy,
         "include_full_text": include_full_text,
     }
     paths = writers.write_output_files(
@@ -126,4 +159,12 @@ def generate_llmstxt(
         .collect()
     ]
     pages_df.unpersist()
-    return {"paths": paths, "metadata": metadata, "entries": entries, "pages": pages}
+    return {
+        "paths": paths,
+        "metadata": metadata,
+        "entries": entries,
+        "pages": pages,
+        # T4 telemetry: how many descriptions were actually computed this run
+        # (None = cache disabled); a warm re-run reports 0.
+        "desc_cache_new": desc_cache_new,
+    }

@@ -96,6 +96,37 @@ def sql_frontier_topk():
     """
 
 
+def q_bestfirst_order(spark, sf_dir):
+    """C3 stand-in: BestFirst keyword-relevance ordering (the priority that
+    drives operators/bestfirst.py) — hit count, hit-fraction score, top-50.
+    Ref: crawl_website keyword consts, llmsgen/crawler/web_crawler.py:251+
+    (pyc); scorer spec pinned in oracle/bestfirst_oracle.py."""
+    from ..functions import kernels
+
+    kws = kernels.bestfirst_keywords(BASE_URL)
+    docs = load(spark, sf_dir, "documents")
+    u = docs.select(synth_url_col().alias("url"))
+    return (
+        u.withColumn("kw_hits", native.keyword_hits_native(F.col("url"), kws))
+        .withColumn("kw_score", F.round(native.keyword_score_native(F.col("url"), kws), 4))
+        .orderBy(F.desc("kw_score"), F.asc("url"))
+        .limit(50)
+    )
+
+
+def sql_bestfirst_order():
+    from ..functions import kernels
+
+    kws = kernels.bestfirst_keywords(BASE_URL)
+    hits = native.keyword_hits_sql("url", kws)
+    return f"""
+        WITH u AS (SELECT {SYNTH_URL_SQL} AS url FROM documents),
+        s AS (SELECT url, {hits} AS kw_hits FROM u)
+        SELECT url, kw_hits, round(kw_hits::DOUBLE / {float(len(kws))}, 4) AS kw_score
+        FROM s ORDER BY kw_score DESC, url ASC LIMIT 50
+    """
+
+
 def q_seen_antijoin(spark, sf_dir):
     """J1: URL-seen anti-join shape (customers with no orders)."""
     customer = load(spark, sf_dir, "customer")
@@ -511,6 +542,7 @@ def sql_ann_lsh(n_planes: int = 6, probe_hamming: int = 2, k: int = 10):
 REGISTRY: dict[str, tuple] = {
     # name: (spark_builder, oracle_sql_builder or None)
     "frontier_topk": (q_frontier_topk, sql_frontier_topk),
+    "bestfirst_order": (q_bestfirst_order, sql_bestfirst_order),
     "seen_antijoin": (q_seen_antijoin, sql_seen_antijoin),
     "sitemap_order": (q_sitemap_order, sql_sitemap_order),
     "categorize": (q_categorize, sql_categorize),

@@ -1,0 +1,100 @@
+"""Description cache (T4): check-before-generate, write-through after.
+
+Reference: ``ModelClient.check_cached_description`` / ``cache_description``
+(models/client.py:68-92; identical v2 twin llmsgen/models/manager.py:57-77):
+cache key = ``f"{url}:{md5(f'{title}|||{content[:1000]}')}"`` — the first
+1000 chars of content fingerprint the page so edits invalidate the entry.
+
+The reference holds the cache as one JSON blob on the driver; at 100 TB
+re-run scale the cache IS a table. Here it's a parquet table (the Iceberg
+pattern) joined BEFORE the describe projection: hits reuse their stored
+description, only misses pay the describe compute, and the miss set is
+written through for the next run. The join shuffles only (cache_key,
+description) — never page content.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import udfs
+
+CACHE_SCHEMA = "cache_key string, description string"
+
+
+def content_hash_col(title, content):
+    """md5(f"{title}|||{content[:1000]}") — models/client.py:68-71."""
+    return F.md5(
+        F.concat(
+            F.coalesce(title, F.lit("")),
+            F.lit("|||"),
+            F.substring(F.coalesce(content, F.lit("")), 1, 1000),
+        )
+    )
+
+
+def cache_key_col(url, title, content):
+    """f"{url}:{content_hash}" — models/client.py:76-78."""
+    return F.concat(url, F.lit(":"), content_hash_col(title, content))
+
+
+def describe_with_cache(
+    pages: DataFrame, cache: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """pages -> (entries, new_cache_rows).
+
+    entries: (url, title, description, word_count, index) — identical values
+    to the uncached ``distill.describe_pages`` (describe is deterministic, so
+    a hit and a recompute agree; tested in test_desc_cache).
+    new_cache_rows: (cache_key, description) for the misses only — the
+    write-through delta. A fully-warm cache yields 0 rows here (the
+    check-before-generate guarantee).
+    """
+    keyed = pages.withColumn(
+        "cache_key", cache_key_col(F.col("url"), F.col("title"), F.col("content"))
+    )
+    hits = keyed.join(cache, "cache_key").select(
+        "url", "title", "description", "word_count", F.col("rank").alias("index")
+    )
+    misses = keyed.join(cache, "cache_key", "left_anti").withColumn(
+        "description",
+        udfs.describe_udf(F.col("title"), F.col("content"), F.col("url")),
+    )
+    new_cache = misses.select("cache_key", "description")
+    entries = hits.unionByName(
+        misses.select(
+            "url", "title", "description", "word_count", F.col("rank").alias("index")
+        )
+    )
+    return entries, new_cache
+
+
+class DescriptionCache:
+    """Parquet-backed cache table with load / write-through merge."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def load(self) -> DataFrame:
+        if os.path.exists(os.path.join(self.path, "_SUCCESS")):
+            return self.spark.read.parquet(self.path)
+        return self.spark.createDataFrame([], CACHE_SCHEMA)
+
+    def merge_and_save(self, new_rows: DataFrame) -> int:
+        """Union the delta into the table (first writer wins per key) and
+        persist. Returns the number of NEW keys written."""
+        new_rows = new_rows.localCheckpoint(eager=True)  # sever lineage to old files
+        n_new = new_rows.count()
+        if n_new == 0:
+            return 0
+        merged = (
+            self.load()
+            .unionByName(new_rows)
+            .dropDuplicates(["cache_key"])
+            .localCheckpoint(eager=True)  # read fully before overwrite
+        )
+        merged.write.mode("overwrite").parquet(self.path)
+        return n_new
