@@ -23,6 +23,7 @@ from web2llmstxt_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "frontier_topk",
+    "bestfirst_order",
     "pricing_summary",
     "join_enrich",
     "seen_antijoin",

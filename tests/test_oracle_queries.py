@@ -73,11 +73,37 @@ def test_rows_only_queries_run(spark):
 
 
 def test_ann_approx_recall_vs_exact(spark):
-    """Approximate paths must agree with brute force on most of top-10."""
+    """Approximate paths must agree with brute force on most of top-10.
+
+    Gates raised per round-1 verdict #9 (the old lsh>=2 bar was decorative):
+    measured at sf0.01 — IVF seed 6/10, LSH(4 planes, multiprobe 2) 7/10."""
     from web2llmstxt_spark.plans.queries import q_ann_ivf, q_ann_lsh, q_ann_topk
 
     exact = {r.vec_id for r in q_ann_topk(spark, SF_DIR).collect()}
     ivf = {r.vec_id for r in q_ann_ivf(spark, SF_DIR).collect()}
     assert len(exact & ivf) >= 6, (exact, ivf)
     lsh = {r.vec_id for r in q_ann_lsh(spark, SF_DIR).collect()}
-    assert len(exact & lsh) >= 2, (exact, lsh)  # coarser; documented approx
+    assert len(exact & lsh) >= 5, (exact, lsh)
+
+
+def test_ann_ivf_kmeans_recall(spark):
+    """Lloyd refinement (kmeans_refine) must beat the seed quantizer:
+    measured 8/10 vs 6/10 at sf0.01. This is the regression net for the
+    production IVF path (the driver oracle pins seed centroids because
+    avg() is FP-order dependent across engines; see kmeans_refine docstring)."""
+    from pyspark.sql import functions as F
+
+    from web2llmstxt_spark.operators import similarity
+    from web2llmstxt_spark.plans.queries import load, q_ann_topk
+
+    emb = load(spark, SF_DIR, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in q_ann_topk(spark, SF_DIR).collect()}
+    refined = {
+        r.vec_id
+        for r in similarity.ivf_topk(
+            rest, qvec, k=10, nlist=16, nprobe=6, kmeans_iters=2
+        ).collect()
+    }
+    assert len(exact & refined) >= 8, (exact, refined)

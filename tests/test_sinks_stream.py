@@ -71,3 +71,38 @@ def test_pipeline_llms_txt_bytes_match_legacy_render(spark, tmp_path):
         "https://ex0.example/", entries, pages_full, result["metadata"]
     )
     assert got == legacy
+
+
+def test_v1_style_output(tmp_path, spark):
+    """v1 format variants (generator/llms_generator.py:789-821): header
+    shapes, `--- Page i ---` blocks, 80-char separators; full file streamed."""
+    entries = [
+        {"url": p["url"], "title": p["title"], "description": f"desc {i}",
+         "word_count": 20, "index": i + 1, "category": "Other Pages",
+         "render_desc": f"desc {i}"}
+        for i, p in enumerate(PAGES[:3])
+    ]
+    txt = writers.render_llms_txt_v1("x.example", entries, "2026-08-16 00:00:00")
+    assert txt.startswith("# X.EXAMPLE - LLMs.txt\n# Generated on 2026-08-16 00:00:00\n# Total pages: 3\n\n")
+    assert "## Page 0\nURL: https://x.example/p0\nDescription: desc 0\n\n" in txt
+
+    path = str(tmp_path / "full_v1.txt")
+    writers.write_llms_full_v1_stream(path, "x.example", iter(PAGES[:3]), 3, "2026-08-16 00:00:00")
+    got = open(path, encoding="utf-8").read()
+    assert got.startswith("# X.EXAMPLE - Full Content\n")
+    assert "--- Page 1 ---\nTitle: Page 0\nURL: https://x.example/p0\nContent:\n" in got
+    assert got.count("=" * 80) == 4  # header sep + one per page
+
+    # end-to-end through the pipeline dispatch
+    corpus = generate_corpus(seed=57, n_hosts=1, pages_per_host=20)
+    base = corpus.seeds[0][1]
+    site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
+    res = pipeline.generate_llmstxt(
+        spark, site, base, str(tmp_path / "v1"), max_pages=5,
+        include_full_text=True, output_style="v1",
+    )
+    names = [p.split("/")[-1] for p in res["paths"]]
+    assert any(n.endswith("-llms.txt") for n in names)
+    assert any(n.endswith("-llms-full.txt") for n in names)
+    body = open(res["paths"][0], encoding="utf-8").read()
+    assert body.splitlines()[0].endswith("- LLMs.txt")

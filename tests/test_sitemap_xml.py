@@ -101,6 +101,58 @@ def test_parse_sitemaps_to_flatten_pipeline(spark):
     }
 
 
+def test_pipeline_sitemap_strategy_from_raw_xml(spark, tmp_path):
+    """generate_llmstxt(crawl_strategy='sitemap') end-to-end from raw XML
+    blobs: auto-discovery (robots + well-known path) -> mapInPandas parse ->
+    index recursion -> prioritized crawl -> llms.txt — and the result equals
+    the same crawl over the corpus' pre-parsed sitemap_entries table."""
+    from web2llmstxt_spark import schemas
+    from web2llmstxt_spark.operators import sitemap as sm
+    from web2llmstxt_spark.plans.pipeline import generate_llmstxt
+    from web2llmstxt_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(seed=53, n_hosts=1, pages_per_host=30)
+    base = corpus.seeds[0][1]
+    site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
+
+    # render the corpus' sitemap graph as raw XML bytes (one child gzipped)
+    by_sitemap = {}
+    for sm_url, _parent, url, is_index in corpus.sitemap_entries:
+        by_sitemap.setdefault(sm_url, []).append((url, is_index))
+    blob_rows = []
+    for i, (sm_url, items) in enumerate(sorted(by_sitemap.items())):
+        if any(ix for _, ix in items):
+            body = "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" + "".join(
+                f"<sitemap><loc>{u}</loc></sitemap>" for u, _ in items
+            ) + "</sitemapindex>"
+        else:
+            body = "<urlset>" + "".join(
+                f"<url><loc>{u}</loc></url>" for u, _ in items
+            ) + "</urlset>"
+        raw = body.encode()
+        blob_rows.append((sm_url, gzip.compress(raw) if i % 2 else raw))
+    blobs = spark.createDataFrame(blob_rows, "sitemap_url string, body binary")
+
+    res = generate_llmstxt(
+        spark, site, base, str(tmp_path), max_pages=10,
+        crawl_strategy="sitemap", sitemap_blobs=blobs,
+        robots_text=f"User-agent: *\nSitemap: {base.rstrip('/')}/sitemap.xml\n",
+    )
+    assert res["metadata"]["crawl_strategy_used"] == "sitemap"
+    assert 0 < len(res["pages"]) <= 10
+    assert all(p["discovery_phase"] == "sitemap" for p in res["pages"])
+
+    # equivalence with the pre-parsed-table path (same urls, same order)
+    entries_tbl = spark.createDataFrame(
+        corpus.sitemap_entries,
+        "sitemap_url string, parent_sitemap string, url string, is_index boolean",
+    )
+    direct = sm.crawl_from_sitemap(
+        spark, site, entries_tbl, base, [f"{base.rstrip('/')}/sitemap.xml"], max_pages=10
+    )
+    assert [p["url"] for p in res["pages"]] == [r.url for r in direct.orderBy("rank").collect()]
+
+
 def test_auto_discovery(spark):
     robots = (
         "User-agent: *\nDisallow: /admin\n"

@@ -146,6 +146,48 @@ def ivf_centroids(df: DataFrame, nlist: int = 16, vec_col: str = "embedding",
     return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
 
 
+def kmeans_refine(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of the IVF coarse quantizer (round-1 verdict #9:
+    the seed pick alone is a toy quantizer).
+
+    Fully distributed per iteration: assignment is the broadcast-centroid
+    max_by pass (ivf_assign), the centroid update is posexplode ->
+    groupBy(cid, pos) -> avg — one shuffle of (cid, pos, val), and only
+    nlist x dim aggregated rows ever reach the driver. Empty clusters keep
+    their previous centroid.
+
+    NOTE on oracles: avg() is FP-summation-order dependent, so refined
+    centroids are not bit-reproducible across engines — the driver-checked
+    ``ann_ivf`` query therefore pins the deterministic seed centroids, and
+    refinement quality is gated by the recall tests instead
+    (tests/test_oracle_queries.py::test_ann_ivf_kmeans_recall).
+    """
+    dim = len(centroids[0][1])
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, vec_col, id_col)
+        joined = assigned.join(df.select(id_col, vec_col), id_col)
+        means = (
+            joined.select("cid", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        centroids = [
+            (cid, [by_cid[cid][p] for p in range(dim)]) if cid in by_cid else (cid, vec)
+            for cid, vec in centroids
+        ]
+    return centroids
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -155,12 +197,19 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[tuple[int, list[float]]] | None = None,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe centroid lists nearest the
     query, exact cosine only within them. The scale path for ANN: assignment
-    is precomputed/bucketed once, each query touches ~nprobe/nlist of data."""
+    is precomputed/bucketed once, each query touches ~nprobe/nlist of data.
+
+    ``kmeans_iters`` > 0 runs Lloyd refinement over the deterministic seed
+    centroids (kmeans_refine) — the production quantizer; 0 keeps the seeds
+    (bit-reproducible across engines, used by the driver oracle)."""
     if centroids is None:
         centroids = ivf_centroids(df, nlist, vec_col, id_col)
+        if kmeans_iters > 0:
+            centroids = kmeans_refine(df, centroids, kmeans_iters, vec_col, id_col)
 
     def cos(a, b):
         dot = sum(x * y for x, y in zip(a, b))

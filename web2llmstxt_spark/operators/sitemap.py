@@ -18,6 +18,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
 from ..functions import kernels, udfs
+from . import ranking
 from .frontier import TableFetcher
 
 
@@ -91,9 +92,21 @@ def crawl_from_sitemap(
     """
     urls = flatten_sitemap_index(sitemap_entries, root_sitemaps)
     todo = prioritize_sitemap_urls(urls, base_url, max_pages)
-    todo = todo.withColumn("url", udfs.normalize_url_udf(F.col("url")))
+    # keep the RAW url for ordering: crawl order = the prioritized raw-url
+    # order restricted to kept pages (the reference crawls the url list in
+    # that order and appends kept results, :1142-1153); normalization may
+    # change the slash/length sort keys
+    todo = todo.withColumn("url_raw", F.col("url")).withColumn(
+        "url", udfs.normalize_url_udf(F.col("url"))
+    )
     fetched = TableFetcher(site_pages).fetch(todo)
     kept = fetched.filter(F.col("success") & (F.col("wc") >= 50))
+    order = (
+        F.asc(F.size(F.split(F.col("url_raw"), "/")) - 1),
+        F.asc(F.length("url_raw")),
+        F.asc("url_raw"),
+    )
+    kept = ranking.global_rank(kept, order, "rank")
     return kept.select(
         "url",
         udfs.extract_title_udf(F.col("title"), F.col("content"), F.col("url")).alias("title"),
@@ -102,4 +115,5 @@ def crawl_from_sitemap(
         F.lit(1.0).alias("score"),
         F.lit(0).alias("depth"),
         F.lit("sitemap").alias("discovery_phase"),
+        "rank",
     )

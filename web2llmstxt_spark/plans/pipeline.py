@@ -39,14 +39,22 @@ def generate_llmstxt(
     crawl_strategy: str = "systematic",
     bestfirst_batch_size: int = 10,
     desc_cache_dir: str | None = None,
+    sitemap_blobs=None,
+    robots_text: str | None = None,
+    root_sitemaps: list[str] | None = None,
+    output_style: str = "v2",
 ) -> dict:
     """Returns {'paths': [...], 'metadata': {...}, 'entries': [...], 'pages': [...]}.
 
-    ``crawl_strategy`` mirrors the v2 dispatch (llmsgen/generator/
-    llms_generator.py:138-209 (pyc) names ``discover_all_links_first`` AND
-    ``crawl_website``): 'systematic' -> the BFS frontier engine;
-    'bestfirst' -> the keyword-relevance BestFirst engine
-    (operators/bestfirst.py), budget = the derived actual_max_pages.
+    ``crawl_strategy`` mirrors the reference dispatch (v1 generator/
+    llms_generator.py:694-700; v2 llmsgen pyc names
+    ``discover_all_links_first`` AND ``crawl_website``):
+    'systematic' -> the BFS frontier engine; 'bestfirst' -> the
+    keyword-relevance BestFirst engine (operators/bestfirst.py);
+    'sitemap' -> raw-XML sitemap crawl (operators/sitemap_xml.py +
+    operators/sitemap.py) over ``sitemap_blobs`` (sitemap_url, body) —
+    roots from ``root_sitemaps`` or auto-discovery (well-known paths +
+    robots ``Sitemap:`` lines in ``robots_text``).
     """
     start = time.time()
     # ref :169 (pyc): 3x page budget when full text requested
@@ -63,6 +71,19 @@ def generate_llmstxt(
             max_pages=actual_max_pages, batch_size=bestfirst_batch_size,
         )
         pages_df, _seen = bf.crawl()
+    elif crawl_strategy == "sitemap":
+        from ..operators import sitemap as sm
+        from ..operators import sitemap_xml
+
+        roots = root_sitemaps
+        if roots is None:
+            roots = sitemap_xml.auto_discover_sitemaps(
+                sitemap_blobs, base_url, robots_text
+            )
+        entries = sitemap_xml.parse_sitemaps(sitemap_blobs, base_url)
+        pages_df = sm.crawl_from_sitemap(
+            spark, site_pages, entries, base_url, roots, max_pages=actual_max_pages
+        )
     else:
         cfg = CrawlConfig(
             max_pages=actual_max_pages,
@@ -150,6 +171,7 @@ def generate_llmstxt(
         pages_df=pages_df,
         site_name=site_name,
         site_summary=site_summary,
+        style=output_style,
     )
     # bounded per-page summaries (no content) for callers/tests
     pages = [

@@ -499,13 +499,16 @@ def q_ann_lsh(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     assert len(qvec) == EMB_DIM, f"oracle SQL assumes dim {EMB_DIM}, got {len(qvec)}"
+    # planes=4 / multiprobe 2: measured recall 7/10 at sf0.01 vs 3/10 at the
+    # round-1 (6,2) setting — sign-LSH pruning/recall is data-dependent; the
+    # recall gate (test_ann_approx_recall_vs_exact) holds >=5/10 here.
     topk = similarity.lsh_topk(
-        emb.filter(F.col("vec_id") != 0), list(qvec), k=10, n_planes=6, probe_hamming=2
+        emb.filter(F.col("vec_id") != 0), list(qvec), k=10, n_planes=4, probe_hamming=2
     )
     return topk.select("vec_id", F.round(F.col("sim"), 4).alias("sim"))
 
 
-def sql_ann_lsh(n_planes: int = 6, probe_hamming: int = 2, k: int = 10):
+def sql_ann_lsh(n_planes: int = 4, probe_hamming: int = 2, k: int = 10):
     """DuckDB twin of the random-hyperplane LSH pipeline. The hyperplanes are
     the same deterministic md5-derived constants the Spark path uses
     (similarity.hyperplanes), inlined as literals; candidate set = buckets

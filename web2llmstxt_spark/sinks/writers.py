@@ -165,6 +165,50 @@ def render_llms_full_txt(base_url: str, pages: list[dict], metadata: dict) -> st
     return "\n".join(out)
 
 
+# ------------------------------------------------------------ v1 format twins
+# The reference ships TWO text formats; v2 (above) is the gold spec, v1
+# (generator/llms_generator.py:789-821) uses `# DOMAIN - LLMs.txt` headers and
+# `--- Page i ---` blocks. Selected via write_output_files(style="v1").
+
+
+def render_llms_txt_v1(domain: str, entries: list[dict], generated_on: str) -> str:
+    """v1 llms.txt (generator/llms_generator.py:789-801): byte-exact
+    concatenation semantics of the reference's `content +=` chain."""
+    content = f"# {domain.upper()} - LLMs.txt\n"
+    content += f"# Generated on {generated_on}\n"
+    content += f"# Total pages: {len(entries)}\n\n"
+    for e in entries:
+        content += f"## {e.get('title', 'Untitled')}\n"
+        content += f"URL: {e.get('url', '')}\n"
+        desc = e.get("render_desc") or final_description(e.get("description"), None)
+        content += f"Description: {desc}\n\n"
+    return content
+
+
+def write_llms_full_v1_stream(
+    path: str,
+    domain: str,
+    pages_iter: Iterable,
+    total_pages: int,
+    generated_on: str,
+) -> None:
+    """v1 llms-full.txt (generator/llms_generator.py:804-821), streamed like
+    the v2 sink: one Arrow partition of driver memory, never the corpus."""
+    sep = "=" * 80
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(f"# {domain.upper()} - Full Content\n")
+        f.write(f"# Generated on {generated_on}\n")
+        f.write(f"# Total pages: {total_pages}\n\n")
+        f.write(sep + "\n\n")
+        for i, page in enumerate(pages_iter, 1):
+            d = page if isinstance(page, dict) else page.asDict()
+            f.write(f"--- Page {i} ---\n")
+            f.write(f"Title: {d.get('title', 'Untitled')}\n")
+            f.write(f"URL: {d.get('url', '')}\n")
+            f.write(f"Content:\n{d.get('content', '')}\n\n")
+            f.write(sep + "\n\n")
+
+
 def _entry_public(e: dict) -> dict:
     return {k: v for k, v in e.items() if k != "render_desc"}
 
@@ -205,10 +249,13 @@ def write_output_files(
     pages_df=None,
     site_name: str | None = None,
     site_summary: str | None = None,
+    style: str = "v2",
 ) -> list[str]:
     """Dispatch on format (ref llmsgen/utils/file_utils.py:204-222); returns
     written paths. ``pages_df`` (rank-ordered crawl output) is only streamed,
-    never collected."""
+    never collected. ``style``: 'v2' (gold spec, default) or 'v1'
+    (`# DOMAIN - LLMs.txt` / `--- Page i ---` blocks,
+    generator/llms_generator.py:789-821)."""
     os.makedirs(output_dir, exist_ok=True)
     domain = kernels.extract_domain_from_url(base_url)
     written = []
@@ -242,6 +289,17 @@ def write_output_files(
         with open(path, "w", encoding="utf-8") as f:
             yaml.dump(data, f, default_flow_style=False, allow_unicode=True, indent=2)
         written.append(path)
+    elif style == "v1":
+        generated_on = metadata.get("generated_at", "").replace("T", " ").split(".")[0]
+        if not full_text_only and entries:
+            path = os.path.join(output_dir, f"{domain}-llms.txt")
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(render_llms_txt_v1(domain, entries, generated_on))
+            written.append(path)
+        if include_full_text or full_text_only:
+            path = os.path.join(output_dir, f"{domain}-llms-full.txt")
+            write_llms_full_v1_stream(path, domain, full_pages_iter(), total_pages, generated_on)
+            written.append(path)
     else:
         if not full_text_only:
             path = os.path.join(output_dir, f"{domain}-llms.txt")
