@@ -45,13 +45,18 @@ def ensure_corpus() -> str:
 
 
 def run_at(cores: int, corpus_dir: str) -> dict:
+    env = dict(os.environ)
+    # the 3.2M-page corpus OOMs an 8g heap while cache-building partitions;
+    # single-JVM local mode means driver heap IS executor heap — size it like
+    # the per-executor memory a real cluster would get
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "scaling_run.py"),
          str(cores), corpus_dir, str(BUDGET)],
-        capture_output=True, text=True, timeout=5400,
+        capture_output=True, text=True, timeout=5400, env=env,
     )
     if out.returncode != 0:
-        print(out.stderr[-4000:], file=sys.stderr)
+        print(out.stderr[-8000:], file=sys.stderr)
         raise RuntimeError(f"scaling_run at {cores} cores failed")
     return json.loads(out.stdout.strip().splitlines()[-1])
 

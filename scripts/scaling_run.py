@@ -31,11 +31,22 @@ def main() -> None:
     budget = int(sys.argv[3]) if len(sys.argv) > 3 else 20000
     meta = json.load(open(os.path.join(corpus_dir, "meta.json")))
 
-    spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores * 2)
+    # shuffle partitioning: per-cluster-size tuning (2x cores) with a floor
+    # keyed to input size so no single shuffle block nears 2 GB (the 3.2M-page
+    # corpus at 16 partitions produced >2 GB map outputs and local fetch
+    # failures); spark.local.dir off /tmp to dodge sandbox tmp cleaners.
+    pq_bytes = os.path.getsize(os.path.join(corpus_dir, "site_pages.parquet"))
+    parts = max(cores * 2, pq_bytes // (128 << 20))
+    local_dir = os.path.expanduser("~/spark-local")
+    os.makedirs(local_dir, exist_ok=True)
+    spark = get_spark(
+        f"scaling-{cores}", cores=cores, shuffle_partitions=parts,
+        extra_conf={"spark.local.dir": local_dir},
+    )
     site = spark.read.parquet(os.path.join(corpus_dir, "site_pages.parquet"))
     # hash-partition by url: the fetch join then reuses this partitioning and
     # only the (small) per-superstep attempt set shuffles
-    site = site.repartition(cores * 2, "url").cache()
+    site = site.repartition(parts, "url").cache()
     n_site = site.count()
 
     # warmup: compile codegen paths + spawn python workers once

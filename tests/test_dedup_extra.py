@@ -63,3 +63,47 @@ def test_host_salting_spreads_skewed_host(spark):
     t0 = unsalted.filter(F.col("host") != "mega.example").select("host", "bucket").collect()
     t1 = salted.filter(F.col("host") != "mega.example").select("host", "bucket").collect()
     assert sorted(map(tuple, t0)) == sorted(map(tuple, t1))
+
+
+def test_lsh_bucket_cap_limits_boilerplate_blowup(spark):
+    """max_bucket caps the self-join blow-up of giant template clusters:
+    a B-doc identical cluster emits C(B,2) pairs uncapped but only C(cap,2)
+    capped — and capped pairs are a subset of uncapped pairs (lowest ids)."""
+    from web2llmstxt_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate page text here") for i in range(20)]
+        + [(100, "a unique document about gardens")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", k=8)
+    bands = dedup.lsh_bands(sigs, "doc_id", k=8, bands=4)
+    uncapped = {(r.a, r.b) for r in dedup.lsh_candidate_pairs(bands, "doc_id").collect()}
+    capped = {(r.a, r.b) for r in
+              dedup.lsh_candidate_pairs(bands, "doc_id", max_bucket=4).collect()}
+    assert len(uncapped) == 20 * 19 // 2
+    assert len(capped) == 4 * 3 // 2          # only the 4 lowest ids survive
+    assert capped <= uncapped
+    assert all(a <= 3 and b <= 3 for a, b in capped)
+
+
+def test_minhash_scale_preset_shape(spark):
+    """The k=128 / 16-band production preset (round-1 verdict #9) builds and
+    bands correctly: 128 sig columns, 16 band keys per doc, identical docs
+    collide on every band."""
+    from web2llmstxt_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "completely different words")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(
+        docs, "text", "doc_id", k=dedup.SCALE_MINHASHES
+    )
+    assert len(sigs.columns) == 1 + dedup.SCALE_MINHASHES
+    bands = dedup.lsh_bands(sigs, "doc_id", k=dedup.SCALE_MINHASHES,
+                            bands=dedup.SCALE_BANDS)
+    per_doc = bands.groupBy("doc_id").count().collect()
+    assert all(r["count"] == dedup.SCALE_BANDS for r in per_doc)
+    pairs = {(r.a, r.b) for r in dedup.lsh_candidate_pairs(bands, "doc_id").collect()}
+    assert (1, 2) in pairs and not any(3 in p for p in pairs)

@@ -115,23 +115,12 @@ def test_pipeline_sitemap_strategy_from_raw_xml(spark, tmp_path):
     base = corpus.seeds[0][1]
     site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
 
-    # render the corpus' sitemap graph as raw XML bytes (one child gzipped)
-    by_sitemap = {}
-    for sm_url, _parent, url, is_index in corpus.sitemap_entries:
-        by_sitemap.setdefault(sm_url, []).append((url, is_index))
-    blob_rows = []
-    for i, (sm_url, items) in enumerate(sorted(by_sitemap.items())):
-        if any(ix for _, ix in items):
-            body = "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" + "".join(
-                f"<sitemap><loc>{u}</loc></sitemap>" for u, _ in items
-            ) + "</sitemapindex>"
-        else:
-            body = "<urlset>" + "".join(
-                f"<url><loc>{u}</loc></url>" for u, _ in items
-            ) + "</urlset>"
-        raw = body.encode()
-        blob_rows.append((sm_url, gzip.compress(raw) if i % 2 else raw))
-    blobs = spark.createDataFrame(blob_rows, "sitemap_url string, body binary")
+    # render the corpus' sitemap graph as raw XML bytes (alternate gzipped)
+    from web2llmstxt_spark.sources.corpus import render_sitemap_blobs
+
+    blobs = spark.createDataFrame(
+        render_sitemap_blobs(corpus), "sitemap_url string, body binary"
+    )
 
     res = generate_llmstxt(
         spark, site, base, str(tmp_path), max_pages=10,
@@ -177,3 +166,25 @@ def test_auto_discovery(spark):
     ]
     valid = {"shop.example"}
     assert sitemaps_from_robots("Sitemap: relative/path.xml", valid) == []
+
+
+def test_cli_crawl_all_strategies(tmp_path):
+    """python -m web2llmstxt_spark.cli crawl works for every strategy
+    (the reference's run.py surface)."""
+    import json
+    import subprocess
+    import sys
+
+    for strategy in ("systematic", "bestfirst", "sitemap"):
+        out = subprocess.run(
+            [sys.executable, "-m", "web2llmstxt_spark.cli", "crawl",
+             "--seed", "https://ex0.example/", "--max-pages", "6",
+             "--strategy", strategy, "--cores", "4",
+             "--out", str(tmp_path / strategy)],
+            capture_output=True, text=True, timeout=900,
+            cwd="/root/repo",
+        )
+        assert out.returncode == 0, (strategy, out.stderr[-2000:])
+        res = json.loads(out.stdout.strip().splitlines()[-1])
+        assert res["strategy"] == strategy and res["pages"] > 0, res
+        assert res["paths"] and all("llms" in p for p in res["paths"])

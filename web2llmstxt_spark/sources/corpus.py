@@ -419,3 +419,32 @@ def generate_corpus_fast(
             json.dump(meta, f)
         meta["path"] = out_dir
     return meta
+
+
+def render_sitemap_blobs(corpus: Corpus) -> list[tuple[str, bytes]]:
+    """Render the corpus' sitemap graph as raw XML bytes (every other blob
+    gzipped) — the input shape of operators/sitemap_xml.parse_sitemaps.
+    Index documents are namespaced; leaf urlsets are namespace-less, so both
+    reference parse branches get exercised."""
+    import gzip as _gzip
+
+    by_sitemap: dict[str, list[tuple[str, bool]]] = {}
+    for sm_url, _parent, url, is_index in corpus.sitemap_entries:
+        by_sitemap.setdefault(sm_url, []).append((url, is_index))
+    rows: list[tuple[str, bytes]] = []
+    for i, (sm_url, items) in enumerate(sorted(by_sitemap.items())):
+        if any(ix for _, ix in items):
+            body = (
+                '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                + "".join(f"<sitemap><loc>{u}</loc></sitemap>" for u, _ in items)
+                + "</sitemapindex>"
+            )
+        else:
+            body = (
+                "<urlset>"
+                + "".join(f"<url><loc>{u}</loc></url>" for u, _ in items)
+                + "</urlset>"
+            )
+        raw = body.encode()
+        rows.append((sm_url, _gzip.compress(raw) if i % 2 else raw))
+    return rows
