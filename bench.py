@@ -30,6 +30,8 @@ HEADLINE = [
     "dedup_exact",
     "minhash",
     "lsh_pairs",
+    "jaccard_verify",
+    "embed_neardup",
     "quality_scores",
     "fingerprints",
     "events_window",

@@ -71,18 +71,59 @@ def hyperplanes(dim: int, n_planes: int = 16) -> list[list[float]]:
     return planes
 
 
+def bucket_col(vec, planes: list[list[float]]):
+    """Sign-pattern LSH bucket id as a Column expression (no shuffle)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot(vec, p) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
 def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 16,
                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Sign-pattern LSH bucket id per vector. Output: (id, bucket:long)."""
     planes = hyperplanes(dim, n_planes)
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(v) for v in plane])
-        bit = F.when(_dot(F.col(vec_col), p) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket + F.shiftleft(bit, i)
-    return df.select(F.col(id_col), bucket.alias("bucket"))
+    return df.select(F.col(id_col), bucket_col(F.col(vec_col), planes).alias("bucket"))
+
+
+def neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH bucketing.
+
+    Buckets vectors by their ``n_planes``-bit sign pattern (one map pass, no
+    shuffle beyond the bucket groupBy-join), self-joins within buckets only,
+    then keeps pairs with exact cosine >= ``threshold``. The scale shape for
+    embedding near-dup: candidate generation is a bucket equi-join (each
+    vector meets ~n/2^planes others, not n), and only candidates pay the
+    exact cosine. Recall is LSH-approximate: a true near-dup straddling a
+    hyperplane (a plane-dot within the perturbation) can land in a sibling
+    bucket — raise n_planes for precision, add multiprobe for recall.
+
+    Output: (a, b, sim) with a < b, cosine >= threshold.
+    """
+    planes = hyperplanes(dim, n_planes)
+    withb = df.select(
+        F.col(id_col), F.col(vec_col).alias("__v"),
+        bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    left = withb.select(F.col(id_col).alias("a"), F.col("__v").alias("va"), "bucket")
+    right = withb.select(F.col(id_col).alias("b"), F.col("__v").alias("vb"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine_sim(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
 
 
 def lsh_topk(

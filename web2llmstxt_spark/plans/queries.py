@@ -349,6 +349,59 @@ def sql_lsh_pairs():
     """
 
 
+def q_jaccard_verify(spark, sf_dir):
+    """LSH candidates -> exact n-gram Jaccard verification, with the
+    boilerplate-cluster bucket cap (MAX_BUCKET) engaged — the full near-dup
+    verify stage: high-precision single 8-row band (pairs agreeing on ALL 8
+    minhashes), capped self-join, exact 3-gram Jaccard on candidates only."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", k=8)
+    bands = dedup.lsh_bands(sigs, "doc_id", k=8, bands=1)
+    pairs = dedup.lsh_candidate_pairs(bands, "doc_id", max_bucket=dedup.MAX_BUCKET)
+    jac = dedup.ngram_jaccard(docs, pairs, "text", "doc_id", n=3)
+    return jac.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def sql_jaccard_verify():
+    toks = textstats.whitespace_tokens_sql("text")
+    sigs = ", ".join(
+        f"list_min(list_transform(list_distinct({toks}), t -> md5(t || ':{i}'))) AS sig_{i}"
+        for i in range(8)
+    )
+    key = " || '|' || ".join(f"sig_{r}" for r in range(8))
+    return f"""
+        WITH sigs AS (SELECT doc_id, {sigs} FROM documents),
+        bands AS (SELECT doc_id, md5({key}) AS band_key FROM sigs),
+        capped AS (
+            SELECT doc_id, band_key FROM (
+                SELECT doc_id, band_key,
+                       row_number() OVER (PARTITION BY band_key ORDER BY doc_id) AS rn
+                FROM bands)
+            WHERE rn <= {dedup.MAX_BUCKET}),
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM capped l JOIN capped r ON l.band_key = r.band_key
+            WHERE l.doc_id < r.doc_id),
+        toksrc AS (SELECT doc_id, {toks} AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(0, greatest(len(t) - 3, 0) + 1),
+                       i -> array_to_string(t[i+1:i+3], ' '))) AS sh
+            FROM toksrc),
+        scored AS (
+            SELECT p.a, p.b,
+                   len(list_intersect(sa.sh, sb.sh)) AS inter,
+                   len(list_distinct(list_concat(sa.sh, sb.sh))) AS u
+            FROM pairs p
+            JOIN sh sa ON p.a = sa.doc_id
+            JOIN sh sb ON p.b = sb.doc_id)
+        SELECT a, b,
+               round(CASE WHEN u > 0 THEN inter::DOUBLE / u ELSE 0.0 END, 4) AS jaccard
+        FROM scored
+    """
+
+
 def q_quality_scores(spark, sf_dir):
     """Quality scoring (length/punct/word-shape bands; exact quarters)."""
     docs = load(spark, sf_dir, "documents")
@@ -449,6 +502,18 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+def _bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of similarity.bucket_col: sign-pattern LSH bucket id over
+    the same deterministic md5-derived hyperplane constants, inlined."""
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product({vec}, "
+        f"[{', '.join(repr(v) for v in plane)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"({bits})"
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF approximate ANN (scale path; high recall vs q_ann_topk)."""
     emb = load(spark, sf_dir, "embeddings")
@@ -517,13 +582,8 @@ def sql_ann_lsh(n_planes: int = 4, probe_hamming: int = 2, k: int = 10):
     planes = similarity.hyperplanes(EMB_DIM, n_planes)
 
     def bucket_expr(vec: str) -> str:
-        bits = " + ".join(
-            f"(CASE WHEN list_dot_product({vec}, "
-            f"[{', '.join(repr(v) for v in plane)}]::DOUBLE[]) >= 0 "
-            f"THEN {1 << i} ELSE 0 END)"
-            for i, plane in enumerate(planes)
-        )
-        return f"({bits})"
+        return _bucket_sql(vec, planes)
+
     e = "e.embedding::DOUBLE[]"
     return f"""
         WITH q AS (
@@ -542,6 +602,44 @@ def sql_ann_lsh(n_planes: int = 4, probe_hamming: int = 2, k: int = 10):
     """
 
 
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs. The testdata embeddings have no
+    natural near-dups (max pairwise cosine ~0.46), so the query plants
+    perturbed copies of every 25th vector with the identical expression on
+    both engines (the synth-URL pattern), then runs the real operator:
+    sign-LSH bucketing -> same-bucket self-join -> exact cosine >= 0.98.
+    Planted copies (scale 1.01 + shift 0.005) sit at cosine ~0.999; every
+    non-planted pair is <= ~0.5, so the threshold isolates the dup structure."""
+    emb = load(spark, sf_dir, "embeddings")
+    vd = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", vd.alias("embedding"))
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(vd, lambda x: x * F.lit(1.01) + F.lit(0.005)).alias("embedding"),
+    )
+    allv = base.unionByName(planted)
+    pairs = similarity.neardup_pairs(allv, dim=EMB_DIM, n_planes=8, threshold=0.98)
+    return pairs.select("a", "b", F.round("sim", 4).alias("sim"))
+
+
+def sql_embed_neardup(n_planes: int = 8, threshold: float = 0.98):
+    planes = similarity.hyperplanes(EMB_DIM, n_planes)
+    cos = _cos_sql("l.v", "r.v")
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id,
+                   list_transform(embedding::DOUBLE[], x -> x * 1.01 + 0.005) AS v
+            FROM embeddings WHERE vec_id % 25 = 0
+        ),
+        b AS (SELECT vec_id, v, {_bucket_sql('v', planes)} AS bucket FROM base)
+        SELECT l.vec_id AS a, r.vec_id AS b, round({cos}, 4) AS sim
+        FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE {cos} >= {threshold}
+    """
+
+
 REGISTRY: dict[str, tuple] = {
     # name: (spark_builder, oracle_sql_builder or None)
     "frontier_topk": (q_frontier_topk, sql_frontier_topk),
@@ -557,6 +655,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "minhash": (q_minhash, sql_minhash),
     "lsh_pairs": (q_lsh_pairs, sql_lsh_pairs),
+    "jaccard_verify": (q_jaccard_verify, sql_jaccard_verify),
+    "embed_neardup": (q_embed_neardup, sql_embed_neardup),
     "quality_scores": (q_quality_scores, sql_quality_scores),
     "fingerprints": (q_fingerprints, sql_fingerprints),
     "token_stats": (q_token_stats, sql_token_stats),
