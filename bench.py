@@ -35,6 +35,8 @@ HEADLINE = [
     "quality_scores",
     "fingerprints",
     "events_window",
+    "events_sessionize",
+    "bpe_token_hist",
     "ann_topk",
     "categorize",
 ]

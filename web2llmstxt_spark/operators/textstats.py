@@ -35,6 +35,25 @@ def whitespace_tokens_sql(text_expr: str) -> str:
     return f"string_split_regex(lower(trim({text_expr})), '{WS_CLASS_SQL}')"
 
 
+#: BPE-style pretokenization (GPT-2 pretoken shape, lookaround-free so Java
+#: regex and RE2 agree): runs of non-delimiters, or single punctuation marks.
+BPE_PRETOKEN_RE = (
+    "[^ \\t\\n\\x0b\\f\\r.,!?;:()\\[\\]{}\"']+|[.,!?;:()\\[\\]{}\"']"
+)
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """BPE-ish pretokens via regexp_extract_all — word pieces + punctuation
+    as separate tokens, engine-portable (no lookbehind, which RE2 lacks)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_PRETOKEN_RE), F.lit(0))
+
+
+def bpe_pretokens_sql(text_expr: str) -> str:
+    """DuckDB twin of bpe_pretokens (single quotes doubled for SQL)."""
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return f"regexp_extract_all(lower({text_expr}), '{pat}')"
+
+
 def bpe_ish_tokens(text: Column) -> Column:
     """A BPE-style pre-tokenization: word pieces + punctuation as tokens
     (regexp split keeping punctuation boundaries — the GPT-2 pretoken shape)."""

@@ -247,6 +247,89 @@ def sql_events_window():
     """
 
 
+SESSION_GAP_US = 1_800_000_000  # 30 min, in microseconds (exact integer cmp)
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds 30 minutes. The canonical stateful-stream op in
+    batch form — lag window + running sum of session starts + per-session
+    agg. Scale shape: one shuffle on user_id serves all three window/agg
+    steps (Catalyst reuses the partitioning); no Python boundary.
+    Microsecond-integer gap comparison keeps both engines exact."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # parquet ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the cast is
+    # exact under the session's pinned UTC timezone (session.get_spark)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)).otherwise(F.lit(0))
+    return (
+        ev.withColumn("session_id", F.sum(new_s).over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+    )
+
+
+def sql_events_sessionize():
+    return f"""
+        WITH o AS (
+            SELECT user_id, event_id, ts, value,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT *, sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_US}
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+            FROM o
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        FROM s GROUP BY user_id, session_id
+    """
+
+
+def q_events_props(spark, sf_dir):
+    """Semi-structured extraction: pull a typed field out of the JSON props
+    column and aggregate — the schema-on-read pattern (get_json_object stays
+    in the JVM; no Python boundary)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def sql_events_props():
+    return """
+        WITH t AS (
+            SELECT event_type, json_extract_string(props, '$.k')::INTEGER AS k
+            FROM events)
+        SELECT event_type, count(k) AS n, round(avg(k), 4) AS avg_k,
+               max(k) AS max_k
+        FROM t GROUP BY event_type
+    """
+
+
 def q_pricing_summary(spark, sf_dir):
     """A2/A5 (TPC-H Q1 shape): grouped pricing aggregates with map-side
     partial aggregation."""
@@ -446,6 +529,31 @@ def sql_token_stats():
         SELECT lang, count(*) AS docs, sum(n_tokens)::BIGINT AS total_tokens,
                round(avg(n_tokens), 4) AS avg_tokens
         FROM t GROUP BY lang
+    """
+
+
+def q_bpe_token_hist(spark, sf_dir):
+    """BPE-ish pretokenization histogram: top-20 most frequent pretokens
+    (word pieces + punctuation) across the corpus — the vocabulary-building
+    primitive. Explode -> groupBy shuffles only (token, 1) pairs with
+    map-side partial aggregation; the regex runs JVM-side."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(textstats.bpe_pretokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+def sql_bpe_token_hist():
+    return f"""
+        WITH t AS (
+            SELECT unnest({textstats.bpe_pretokens_sql('text')}) AS tok
+            FROM documents)
+        SELECT tok, count(*) AS n FROM t GROUP BY tok
+        ORDER BY n DESC, tok ASC LIMIT 20
     """
 
 
@@ -650,6 +758,8 @@ REGISTRY: dict[str, tuple] = {
     "quality_filter": (q_quality_filter, sql_quality_filter),
     "events_by_type": (q_events_by_type, sql_events_by_type),
     "events_window": (q_events_window, sql_events_window),
+    "events_sessionize": (q_events_sessionize, sql_events_sessionize),
+    "events_props": (q_events_props, sql_events_props),
     "pricing_summary": (q_pricing_summary, sql_pricing_summary),
     "join_enrich": (q_join_enrich, sql_join_enrich),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
@@ -660,6 +770,7 @@ REGISTRY: dict[str, tuple] = {
     "quality_scores": (q_quality_scores, sql_quality_scores),
     "fingerprints": (q_fingerprints, sql_fingerprints),
     "token_stats": (q_token_stats, sql_token_stats),
+    "bpe_token_hist": (q_bpe_token_hist, sql_bpe_token_hist),
     "ann_topk": (q_ann_topk, sql_ann_topk),
     "simhash": (q_simhash, sql_simhash),
     "lang_detect": (q_lang_detect, sql_lang_detect),
