@@ -107,3 +107,26 @@ def test_minhash_scale_preset_shape(spark):
     assert all(r["count"] == dedup.SCALE_BANDS for r in per_doc)
     pairs = {(r.a, r.b) for r in dedup.lsh_candidate_pairs(bands, "doc_id").collect()}
     assert (1, 2) in pairs and not any(3 in p for p in pairs)
+
+
+def test_simhash_vectorized_matches_reference_kernel():
+    """The numpy batch kernel behind simhash64_udf must be bit-identical to
+    the scalar reference kernel (simhash64_py) — including the empty-doc 0,
+    unicode tokens, and the signed two's-complement conversion."""
+    from web2llmstxt_spark.operators.dedup import _simhash64_batch, simhash64_py
+
+    texts = [
+        "",
+        "   ",
+        "one",
+        "the quick brown fox jumps over the lazy dog",
+        "the the the repeated repeated tokens",
+        "的 是 了 在 我 有 和 不",
+        "MiXeD Case TOKENS and punctuation, too!",
+        "x" * 5000 + " tail words here",
+        None,
+    ]
+    got = _simhash64_batch(texts, {})
+    want = [simhash64_py(t or "") for t in texts]
+    assert got == want
+    assert any(v < 0 for v in got)  # the signed-conversion branch is exercised

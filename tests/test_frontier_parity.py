@@ -30,7 +30,7 @@ def run_both(spark, corpus, cfg, seeds=None, use_bloom=False, run_dir=None):
     if seeds is None:
         seeds = [(sid, url) for sid, url, _ in corpus.seeds]
     pages_df, seen_df = engine.crawl(seeds)
-    engine_pages = [r.asDict() for r in pages_df.collect()]
+    engine_pages = [r.asDict() for r in pages_df.orderBy("rank").collect()]
     engine_seen = {r.url for r in seen_df.collect()}
     return oracle_res, engine_pages, engine_seen
 
@@ -103,7 +103,7 @@ def test_native_scorer_parity(spark):
     site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES)
     engine = FrontierCrawler(spark, site, cfg, use_bloom=False, use_native_scorer=True)
     pages_df, seen_df = engine.crawl([(sid, url) for sid, url, _ in corpus.seeds])
-    engine_pages = [r.asDict() for r in pages_df.collect()]
+    engine_pages = [r.asDict() for r in pages_df.orderBy("rank").collect()]
     engine_seen = {r.url for r in seen_df.collect()}
     assert_parity(oracle_res, engine_pages, engine_seen)
 
@@ -123,7 +123,7 @@ def test_midscale_budget_cut_parity(spark, tmp_path):
     site = spark.read.parquet(f"{out}/site_pages.parquet")
     engine = FrontierCrawler(spark, site, cfg, use_bloom=True, use_native_scorer=True)
     pages_df, seen_df = engine.crawl([(i, u) for i, u in enumerate(meta["seeds"])])
-    engine_pages = [r.asDict() for r in pages_df.collect()]
+    engine_pages = [r.asDict() for r in pages_df.orderBy("rank").collect()]
     engine_seen = {r.url for r in seen_df.collect()}
     # slice under-fills on failures without backfill (SURVEY quirk); the cut
     # is active when pages land close to (but possibly under) the budget

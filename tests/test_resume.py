@@ -17,7 +17,7 @@ def run_full(spark, corpus, cfg, run_dir):
     seeds = [(sid, url) for sid, url, _ in corpus.seeds]
     pages, seen = crawler.crawl(seeds)
     return (
-        [tuple(r) for r in pages.select("rank", "url", "depth", "score").collect()],
+        [tuple(r) for r in pages.select("rank", "url", "depth", "score").orderBy("rank").collect()],
         {r.url for r in seen.collect()},
         site,
         seeds,
@@ -41,7 +41,7 @@ def test_resume_from_each_superstep(spark, tmp_path):
             src = os.path.join(run_dir, f"superstep={n}")
             shutil.copytree(src, os.path.join(resume_dir, f"superstep={n}"))
         pages, seen = checkpoint.resume_crawl(spark, site, cfg, resume_dir, seeds)
-        got_pages = [tuple(r) for r in pages.select("rank", "url", "depth", "score").collect()]
+        got_pages = [tuple(r) for r in pages.select("rank", "url", "depth", "score").orderBy("rank").collect()]
         got_seen = {r.url for r in seen.collect()}
         assert got_pages == full_pages, f"resume from {cut}: pages mismatch"
         assert got_seen == full_seen, f"resume from {cut}: seen mismatch"
@@ -86,7 +86,7 @@ def test_crash_between_seen_and_frontier_rolls_back(spark, tmp_path):
     assert checkpoint.last_complete_superstep(crash_dir) == last - 1
 
     pages, seen = checkpoint.resume_crawl(spark, site, cfg, crash_dir, seeds)
-    got_pages = [tuple(r) for r in pages.select("rank", "url", "depth", "score").collect()]
+    got_pages = [tuple(r) for r in pages.select("rank", "url", "depth", "score").orderBy("rank").collect()]
     got_seen = {r.url for r in seen.collect()}
     assert got_pages == full_pages
     assert got_seen == full_seen

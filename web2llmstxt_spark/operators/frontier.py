@@ -552,7 +552,12 @@ class FrontierCrawler:
             F.col("url").asc(),
         )
         result = self._with_global_rank(result, final_order, "rank").drop("__seed0")
-        return result.orderBy("rank")
+        # rank IS the crawl order; returning unsorted saves a full-content
+        # range-shuffle sort that every consumer either redoes (sinks,
+        # pipeline: .orderBy("rank") at the point of use) or never needs
+        # (distill, dedup, profiling are order-free). At 10^6+ pages the
+        # eager sort was a fixed ~2 GB shuffle serial tail on the crawl.
+        return result
 
     # ------------------------------------------------------------- link expand
     def _new_links(self, pages_with_links: DataFrame, from_depth: int) -> DataFrame:

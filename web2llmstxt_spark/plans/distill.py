@@ -55,7 +55,11 @@ def categorize_entries(entries: DataFrame, pages: DataFrame) -> DataFrame:
     # computed HERE so llms.txt assembly never needs page content on the
     # driver (sinks/writers.final_description is the Python twin).
     pc = F.coalesce(F.col("page_content"), F.lit(""))
-    words = F.filter(F.split(pc, r"\s+"), lambda t: t != F.lit(""))
+    # only the first 30 words are ever rendered: bound the regex split to a
+    # 4 KB prefix so per-row cost is O(1) in page size (30 words can only
+    # span >4096 chars if a single "word" exceeds ~130 chars — not a natural-
+    # language shape; the golden byte-equality tests gate the edge)
+    words = F.filter(F.split(F.substring(pc, 1, 4096), r"\s+"), lambda t: t != F.lit(""))
     fallback = F.when(
         F.length(pc) > 0,
         F.concat(F.array_join(F.slice(words, 1, 30), " "), F.lit("...")),
