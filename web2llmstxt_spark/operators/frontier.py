@@ -490,9 +490,18 @@ class FrontierCrawler:
                 fresh = links.join(frontier, "url", "left_anti")
                 frontier_next = frontier.unionByName(fresh)
 
+            # The loop exits after this superstep when the depth limit or the
+            # page budget is reached — then frontier/Bloom state is dead
+            # weight: the frontier rewrite (O(|frontier|)) and the Bloom
+            # delta build (4 hashes/URL in Python) would never be read. The
+            # last superstep is typically the LARGEST (budget exhaustion), so
+            # skipping its state advance removes the single biggest
+            # checkpoint. Durable runs (run_dir) still write everything —
+            # resume needs the full state history.
+            will_continue = depth < cfg.depth_limit and pages_count < budget
             bloom_next = (
                 self._advance_bloom(attempted.select("url"), seen_next)
-                if self.use_bloom
+                if self.use_bloom and (will_continue or self.run_dir is not None)
                 else None
             )
             if self.run_dir is not None:
@@ -502,7 +511,7 @@ class FrontierCrawler:
                 frontier = self._snapshot(frontier_next, "frontier", depth)
                 if bloom_next is not None:
                     self._bloom = bloom_next.localCheckpoint(eager=True)
-            else:
+            elif will_continue:
                 # ONE combined checkpoint job for ALL state tables (seen +
                 # frontier + Bloom bitmaps share a 'kind' discriminator) with
                 # an Observation returning |frontier| for free; pages stay
@@ -511,6 +520,11 @@ class FrontierCrawler:
                 seen, frontier, self._bloom, frontier_count = self._checkpoint_state(
                     seen_next, frontier_next, bloom_next, depth
                 )
+                new_pages = new_pages.persist()
+            else:
+                # exiting: seen stays lazy on (checkpointed seen ∪ cached
+                # attempted) — shallow lineage, no full-state job
+                seen = seen_next
                 new_pages = new_pages.persist()
             all_pages.append(new_pages)
             # NB: attempted stays persisted — lazy pages reference it
