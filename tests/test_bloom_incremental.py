@@ -22,12 +22,18 @@ def _run(spark, corpus, cfg, **kw):
     return engine, pages, seen
 
 
-def test_bloom_state_is_incremental(spark):
-    """Every superstep must OR in exactly one delta (attempted URLs), zero
-    full-seen rebuilds — the per-superstep Bloom cost is O(|attempted|)."""
+def test_bloom_state_is_incremental(spark, tmp_path):
+    """Every advancing superstep must OR in exactly one delta (attempted
+    URLs), zero full-seen rebuilds — per-superstep Bloom cost O(|attempted|).
+    Durable mode (run_dir) advances state on EVERY superstep (resume needs
+    it), so the full-coverage probe below holds for all of seen; non-durable
+    crawls additionally skip the final superstep's dead delta
+    (test_bloom_skips_dead_final_delta)."""
     corpus = generate_corpus(seed=19, n_hosts=2, pages_per_host=40)
     cfg = CrawlConfig(max_pages=12)
-    engine, pages, seen = _run(spark, corpus, cfg, use_bloom=True)
+    engine, pages, seen = _run(
+        spark, corpus, cfg, use_bloom=True, run_dir=str(tmp_path / "bloomrun")
+    )
     supersteps = len(engine.metrics)
     assert supersteps >= 2, "need a multi-superstep crawl to prove incrementality"
     assert engine.bloom_deltas == supersteps
@@ -42,6 +48,18 @@ def test_bloom_state_is_incremental(spark):
         host = urllib.parse.urlparse(url).netloc.lower()
         b = host_bucket(host, engine.num_buckets)
         assert bloom.probe_bitmap(url, state[b]), f"false negative for {url}"
+
+
+def test_bloom_skips_dead_final_delta(spark):
+    """Non-durable crawls skip the final superstep's Bloom delta — the loop
+    exits and the state is never read. Deltas = supersteps - 1."""
+    corpus = generate_corpus(seed=19, n_hosts=2, pages_per_host=40)
+    cfg = CrawlConfig(max_pages=12)
+    engine, pages, seen = _run(spark, corpus, cfg, use_bloom=True)
+    supersteps = len(engine.metrics)
+    assert supersteps >= 2
+    assert engine.bloom_deltas == supersteps - 1
+    assert engine.bloom_rebuilds == 0
 
 
 def test_bloom_overload_triggers_doubling_rebuild(spark):
