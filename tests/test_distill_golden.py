@@ -110,3 +110,37 @@ def test_full_pipeline_end_to_end(spark, tmp_path):
     full_text = open(full_path, encoding="utf-8").read()
     assert "## Page 1:" in full_text and "**URL:**" in full_text
     assert os.path.basename(full_path) == "ex0.example-llms-full.txt"
+
+
+def test_render_desc_twin_on_adversarial_content(spark):
+    """The distributed render_desc column (plans/distill.py) and the
+    render-time Python twin (writers.final_description) must stay
+    byte-identical on content the golden corpus never exercises: a page whose
+    first 30 'words' span >4096 chars (minified-JS shape), a word straddling
+    the 4096 boundary, and NBSP/ideographic-space joints (non-boundaries
+    under the pinned ASCII class)."""
+    contents = [
+        # one giant token then normal words: the 4096-prefix cut bites
+        "x" * 5000 + " alpha beta gamma",
+        # a word straddling exactly the 4096-char boundary
+        ("word " * 819) + "straddler-token-yyyyyyyyyyyyyyyy then more words here",
+        # NBSP + ideographic joints: 30-word window differs vs Python .split()
+        ("alpha beta gamma　delta epsilon " * 20).strip(),
+        # short page, shorter than 30 words
+        "only a few words here.",
+        "",
+        None,
+    ]
+    rows = [
+        (f"https://x.example/p{i}", f"T{i}", c, None, 10, 1.0, 1, "crawl", 0, i)
+        for i, c in enumerate(contents)
+    ]
+    pages_df = spark.createDataFrame(rows, schemas.PAGES)
+    # force every description onto the fallback path
+    entries_df = distill.describe_pages(pages_df, full_text_only=True)
+    out = distill.categorize_entries(entries_df, pages_df)
+    got = {r.url: r.render_desc for r in out.collect()}
+    for i, c in enumerate(contents):
+        url = f"https://x.example/p{i}"
+        expect = writers.final_description("N/A (full_text_only mode)", c)
+        assert got[url] == expect, (url, got[url][:80], expect[:80])

@@ -91,10 +91,21 @@ def test_embed_neardup_planted_recall(spark):
     flips near a hyperplane legitimately lose a few — and (b) emit ONLY
     planted pairs (every natural pair is <= ~0.5 cosine, far below 0.98).
     Measured 16/20 at sf0.01."""
-    from web2llmstxt_spark.plans.queries import q_embed_neardup
+    from pyspark.sql import functions as F
+
+    from web2llmstxt_spark.plans.queries import PLANT_OFFSET, q_embed_neardup
+
+    # planted ids must sit strictly above every real vec_id at this sf, or
+    # the plant silently corrupts the pair set on BOTH engines identically
+    max_real = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .agg(F.max("vec_id"))
+        .collect()[0][0]
+    )
+    assert max_real < PLANT_OFFSET, (max_real, PLANT_OFFSET)
 
     rows = q_embed_neardup(spark, SF_DIR).collect()
-    assert all(r.b == r.a + 100000 for r in rows), rows[:5]
+    assert all(r.b == r.a + PLANT_OFFSET for r in rows), rows[:5]
     assert all(r.sim >= 0.98 for r in rows)
     n_planted = len([r for r in rows])
     assert n_planted >= 14, n_planted

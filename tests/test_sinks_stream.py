@@ -106,3 +106,48 @@ def test_v1_style_output(tmp_path, spark):
     assert any(n.endswith("-llms-full.txt") for n in names)
     body = open(res["paths"][0], encoding="utf-8").read()
     assert body.splitlines()[0].endswith("- LLMs.txt")
+
+
+def test_yaml_full_text_bounded_consumption(tmp_path):
+    """The YAML sink must SLICE the page iterator (islice), never materialize
+    it: with pages >> max_full_text_pages, only ~max_full rows may be pulled
+    from the toLocalIterator stream (one extra probe row is islice's
+    stop-check, not materialization)."""
+    yaml = __import__("yaml")
+    consumed = []
+
+    class _Row:
+        def __init__(self, i):
+            self.i = i
+
+        def asDict(self):
+            return {"title": f"Page {self.i}", "url": f"https://x.example/p{self.i}",
+                    "content": f"body {self.i}"}
+
+    class _FakePagesDF:
+        """Duck-typed stand-in for the rank-ordered crawl DataFrame."""
+
+        def orderBy(self, *_):
+            return self
+
+        def select(self, *_):
+            return self
+
+        def toLocalIterator(self):
+            for i in range(10_000):
+                consumed.append(i)
+                yield _Row(i)
+
+    entries = [
+        {"url": "https://x.example/p0", "title": "P", "description": "d",
+         "word_count": 5, "index": 1, "category": "Other Pages", "render_desc": "d"}
+    ]
+    meta = {**META, "max_full_text_pages": 7}
+    paths = writers.write_output_files(
+        str(tmp_path / "yaml_bounded"), "https://x.example", entries, meta,
+        export_format="yaml", include_full_text=True, pages_df=_FakePagesDF(),
+    )
+    assert len(consumed) <= 8, f"driver pulled {len(consumed)} rows for max_full=7"
+    data = yaml.safe_load(open(paths[0], encoding="utf-8"))
+    assert len(data["full_content_pages"]) == 7
+    assert data["full_content_pages"][0]["url"] == "https://x.example/p0"

@@ -738,9 +738,33 @@ def spans_to_content_py(spans) -> str:
 # Misc shared helpers (engine-side, not reference-derived)
 # ---------------------------------------------------------------------------
 
+#: The pinned ASCII whitespace class — identical to Java regex ``\s`` (what
+#: the engine's native expressions split on) and to the DuckDB oracle twins'
+#: explicit class (operators/textstats.WS_CLASS_JAVA). Python's str.split()
+#: uses the wider Unicode set (NBSP, ideographic space, \x1c-\x1f, ...), so
+#: it is NOT used anywhere a Python kernel must agree bit-for-bit with a
+#: Spark/DuckDB computation.
+_WS_ASCII_RE = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def ws_tokens(content: str) -> list[str]:
+    """Non-empty tokens on the pinned ASCII whitespace class."""
+    return [t for t in _WS_ASCII_RE.split(content or "") if t]
+
+
 def word_count(content: str) -> int:
-    """len(content.split()) — ref: llmsgen/crawler/web_crawler.py:236 (pyc)."""
-    return len((content or "").split())
+    """Token count on the pinned ASCII whitespace class.
+
+    Ref semantics: len(content.split()) — llmsgen/crawler/web_crawler.py:236
+    (pyc). Documented deviation: the reference splits on PYTHON Unicode
+    whitespace; this engine pins the Java/ASCII class so the Spark-native
+    quality gate (functions/udfs.native_word_count), the DuckDB oracle twins
+    and this kernel agree bit-for-bit on ALL inputs — a page whose 50-word
+    boundary falls on U+00A0 was engine-vs-oracle divergent before. The
+    synthetic corpus now plants NBSP/ideographic-space joints so the parity
+    suite exercises exactly this class (sources/corpus._make_spans).
+    """
+    return len(ws_tokens(content))
 
 
 def stable_hash64(value: str) -> int:

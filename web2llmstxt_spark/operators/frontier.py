@@ -523,8 +523,13 @@ class FrontierCrawler:
                 new_pages = new_pages.persist()
             else:
                 # exiting: seen stays lazy on (checkpointed seen ∪ cached
-                # attempted) — shallow lineage, no full-state job
+                # attempted) — shallow lineage, no full-state job. self._bloom
+                # and frontier intentionally stay ONE superstep behind seen
+                # here; null the Bloom state so any future post-crawl consumer
+                # (in-memory re-crawl, bitmap metrics probe) fails loudly on
+                # the stale handle instead of silently reading old state
                 seen = seen_next
+                self._bloom = None
                 new_pages = new_pages.persist()
             all_pages.append(new_pages)
             # NB: attempted stays persisted — lazy pages reference it

@@ -17,7 +17,7 @@ from __future__ import annotations
 import hashlib
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _dot(a, b):
@@ -90,6 +90,12 @@ def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 16,
     return df.select(F.col(id_col), bucket_col(F.col(vec_col), planes).alias("bucket"))
 
 
+#: default hot-bucket cap for neardup_pairs at the query layer (mirrored in
+#: the DuckDB oracle twin); well above the expected bucket occupancy at test
+#: scale (~n/2^n_planes) so it only bites on degenerate distributions
+MAX_BUCKET_NEARDUP = 256
+
+
 def neardup_pairs(
     df: DataFrame,
     dim: int,
@@ -97,6 +103,7 @@ def neardup_pairs(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH bucketing.
 
@@ -109,6 +116,13 @@ def neardup_pairs(
     hyperplane (a plane-dot within the perturbation) can land in a sibling
     bucket — raise n_planes for precision, add multiprobe for recall.
 
+    ``max_bucket`` caps hot-bucket blow-up exactly like
+    dedup.lsh_candidate_pairs: with only 2^n_planes buckets, a clustered or
+    degenerate embedding distribution (or simply n >> 2^n_planes) makes one
+    bucket emit ~B^2/2 pairs and dominate the shuffle. Buckets larger than
+    the cap keep only their ``max_bucket`` lowest-id members before the
+    self-join. For exact recall without a cap, scale n_planes with log2(n).
+
     Output: (a, b, sim) with a < b, cosine >= threshold.
     """
     planes = hyperplanes(dim, n_planes)
@@ -116,6 +130,13 @@ def neardup_pairs(
         F.col(id_col), F.col(vec_col).alias("__v"),
         bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("bucket").orderBy(F.asc(id_col))
+        withb = (
+            withb.withColumn("__bn", F.row_number().over(w))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     left = withb.select(F.col(id_col).alias("a"), F.col("__v").alias("va"), "bucket")
     right = withb.select(F.col(id_col).alias("b"), F.col("__v").alias("vb"), "bucket")
     return (

@@ -414,7 +414,10 @@ def q_lsh_pairs(spark, sf_dir):
 
 
 def sql_lsh_pairs():
-    toks = "list_distinct(string_split_regex(lower(trim(text)), '\\s+'))"
+    # pinned whitespace class shared with the Spark side (dedup.py tokenizer);
+    # RE2's '\s' lacks \x0B — the exact divergence class behind round 1's
+    # token_stats mismatch, so never inline '\s+' in an oracle twin.
+    toks = f"list_distinct({textstats.whitespace_tokens_sql('text')})"
     sigs = ", ".join(
         f"list_min(list_transform({toks}, t -> md5(t || ':{i}'))) AS sig_{i}"
         for i in range(8)
@@ -602,6 +605,13 @@ def sql_lang_detect():
 
 EMB_DIM = 64  # the testdata embeddings dim (asserted in the Spark builders)
 
+#: id offset for planted near-dup copies in q_embed_neardup — a power of 10
+#: far above any supported sf's embeddings row count (sf0.1 ≈ 2k rows; even
+#: sf1000 stays < 10^9), so planted ids can never collide with real vec_ids.
+#: tests/test_queries_oracle.py asserts max(vec_id) < PLANT_OFFSET on the
+#: actual testdata so a future sf bump fails loudly instead of silently.
+PLANT_OFFSET = 1_000_000_000
+
 
 def _cos_sql(a: str, b: str) -> str:
     return (
@@ -722,26 +732,37 @@ def q_embed_neardup(spark, sf_dir):
     vd = F.col("embedding").cast("array<double>")
     base = emb.select("vec_id", vd.alias("embedding"))
     planted = emb.filter(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
         F.transform(vd, lambda x: x * F.lit(1.01) + F.lit(0.005)).alias("embedding"),
     )
     allv = base.unionByName(planted)
-    pairs = similarity.neardup_pairs(allv, dim=EMB_DIM, n_planes=8, threshold=0.98)
+    pairs = similarity.neardup_pairs(
+        allv, dim=EMB_DIM, n_planes=8, threshold=0.98,
+        max_bucket=similarity.MAX_BUCKET_NEARDUP,
+    )
     return pairs.select("a", "b", F.round("sim", 4).alias("sim"))
 
 
 def sql_embed_neardup(n_planes: int = 8, threshold: float = 0.98):
     planes = similarity.hyperplanes(EMB_DIM, n_planes)
     cos = _cos_sql("l.v", "r.v")
+    cap = similarity.MAX_BUCKET_NEARDUP
     return f"""
         WITH base AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
             UNION ALL
-            SELECT vec_id + 100000 AS vec_id,
+            SELECT vec_id + {PLANT_OFFSET} AS vec_id,
                    list_transform(embedding::DOUBLE[], x -> x * 1.01 + 0.005) AS v
             FROM embeddings WHERE vec_id % 25 = 0
         ),
-        b AS (SELECT vec_id, v, {_bucket_sql('v', planes)} AS bucket FROM base)
+        b0 AS (SELECT vec_id, v, {_bucket_sql('v', planes)} AS bucket FROM base),
+        b AS (
+            SELECT vec_id, v, bucket FROM (
+                SELECT vec_id, v, bucket,
+                       row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+                FROM b0
+            ) WHERE bn <= {cap}
+        )
         SELECT l.vec_id AS a, r.vec_id AS b, round({cos}, 4) AS sim
         FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
         WHERE {cos} >= {threshold}

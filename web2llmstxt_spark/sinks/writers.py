@@ -18,6 +18,7 @@ files, but their ASSEMBLY must not materialize page CONTENT on the driver.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 from typing import Iterable, Iterator
@@ -33,10 +34,17 @@ except ImportError:  # pragma: no cover
 
 
 def final_description(desc: str | None, page_content: str | None) -> str:
-    """The render-time description fallback (ref file_utils.py:124-130)."""
+    """The render-time description fallback (ref file_utils.py:124-130).
+
+    Byte-identical twin of the distributed ``render_desc`` column in
+    plans/distill.py: BOTH sides split only a 4096-char prefix on the pinned
+    ASCII whitespace class (Java ``\\s`` == kernels._WS_ASCII_RE), so a page
+    whose first 30 tokens span >4 KB (minified JS, base64 blobs) truncates
+    identically here and in the Spark plan instead of diverging.
+    """
     if desc == "N/A (full_text_only mode)" or not desc:
         return (
-            " ".join((page_content or "").split()[:30]) + "..."
+            " ".join(kernels.ws_tokens(page_content[:4096])[:30]) + "..."
             if page_content
             else "No content available."
         )
@@ -280,11 +288,14 @@ def write_output_files(
             raise NotImplementedError("pyyaml not available in this environment")
         data = {"metadata": metadata, "llms_entries": [_entry_public(e) for e in entries]}
         if include_full_text:
-            # yaml has no incremental dump API worth the complexity; full-page
-            # yaml export is a debugging format, bounded by the explicit
-            # max_full_text_pages budget
-            data["full_content_pages"] = [r.asDict() for r in
-                                          list(full_pages_iter())[: metadata.get("max_full_text_pages") or None]]
+            # yaml has no incremental dump API worth the complexity, but the
+            # page iterator must be SLICED, not materialized: islice consumes
+            # only max_full_text_pages rows from the toLocalIterator stream,
+            # so the driver never holds the full crawl's content at once
+            max_full = metadata.get("max_full_text_pages") or None
+            data["full_content_pages"] = [
+                r.asDict() for r in itertools.islice(full_pages_iter(), max_full)
+            ]
         path = os.path.join(output_dir, f"{domain}-llms.yaml")
         with open(path, "w", encoding="utf-8") as f:
             yaml.dump(data, f, default_flow_style=False, allow_unicode=True, indent=2)

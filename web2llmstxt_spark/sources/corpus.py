@@ -141,6 +141,13 @@ def _make_spans(rng: random.Random, title: str, n_words: int, host: str) -> list
         # capitalized sentence with terminal period so the summarizer (D1)
         # has extractable sentences
         text = " ".join(sentence_words).capitalize() + "."
+        if para_i % 6 == 4:
+            # Unicode-whitespace joints (NBSP + ideographic space): Python
+            # str.split() treats these as word boundaries, the engine's pinned
+            # ASCII class (kernels.word_count / udfs.native_word_count) does
+            # NOT — planting them makes the parity suite exercise the pinned
+            # class instead of passing vacuously on pure-ASCII content
+            text = text.replace(" ", " ", 2).replace(" ", "　", 1)
         spans.append(("text", text, "", offset))
         offset += 1
         words_left -= k
