@@ -70,38 +70,57 @@ def run_crawl_bench(spark, n_hosts=12, pages_per_host=120, max_pages=150) -> tup
     return dt, n_seen
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark("bench", cores=cores)
-
+def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], int]:
+    """One full pass over the headline queries + crawl; per-item seconds."""
     from web2llmstxt_spark.plans.queries import REGISTRY
 
     timings: dict[str, float] = {}
-    # warm the JVM + parquet footers once
-    materialize(REGISTRY["pricing_summary"][0](spark, sf_dir))
-
     for name in HEADLINE:
         build = REGISTRY[name][0]
         t0 = time.time()
         materialize(build(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
-
     crawl_sec, urls = run_crawl_bench(spark)
     timings["crawl"] = round(crawl_sec, 3)
+    return timings, urls
 
-    total = round(sum(timings.values()), 3)
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # the sandbox machine's hour-scale variance is ~2x (BENCH_SCALING.md), so
+    # a single rep can't be compared round over round: run N full passes and
+    # report per-query BEST-OF plus the observed spread
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench", cores=cores)
+
+    from web2llmstxt_spark.plans.queries import REGISTRY
+
+    # warm the JVM + parquet footers once
+    materialize(REGISTRY["pricing_summary"][0](spark, sf_dir))
+
+    runs: list[dict[str, float]] = []
+    urls = 0
+    for _ in range(reps):
+        timings, urls = run_suite(spark, sf_dir)
+        runs.append(timings)
+
+    best = {k: min(r[k] for r in runs) for k in runs[0]}
+    spread = {k: [min(r[k] for r in runs), max(r[k] for r in runs)] for k in runs[0]}
+    total = round(sum(best.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": best,
                 "sf": float(sf),
-                "urls_per_sec": round(urls / crawl_sec, 2),
+                "urls_per_sec": round(urls / best["crawl"], 2),
                 "cores": cores,
+                "reps": reps,
+                "spread": spread,
             }
         )
     )

@@ -98,3 +98,31 @@ def test_content_change_invalidates_entry(spark, tmp_path):
     target_keys = [r.cache_key for r in cache_rows if r.cache_key.startswith(f"{target}:")]
     assert len(target_keys) == 2
     assert len(cache_rows) == len(r1["entries"]) + 1
+
+
+def test_append_only_two_writer_merge(spark, tmp_path):
+    """The cache write path must be append-only (new part files per run, no
+    read-modify-overwrite), so two runs writing deltas into the same cache
+    dir both survive, and load() dedups keys at read time."""
+    from web2llmstxt_spark.state.desc_cache import CACHE_SCHEMA, DescriptionCache
+
+    path = str(tmp_path / "cache")
+    w1 = DescriptionCache(spark, path)
+    w2 = DescriptionCache(spark, path)
+    d1 = spark.createDataFrame([("k1", "desc one"), ("k2", "desc two")], CACHE_SCHEMA)
+    d2 = spark.createDataFrame([("k2", "desc two"), ("k3", "desc three")], CACHE_SCHEMA)
+    files_after_1 = None
+    assert w1.merge_and_save(d1) == 2
+    import os as _os
+
+    files_after_1 = {f for f in _os.listdir(path) if f.endswith(".parquet")}
+    assert w2.merge_and_save(d2) == 2
+    files_after_2 = {f for f in _os.listdir(path) if f.endswith(".parquet")}
+    # append-only: writer 2 added files, never rewrote writer 1's
+    assert files_after_1 <= files_after_2
+    assert len(files_after_2) > len(files_after_1)
+    loaded = {r.cache_key: r.description for r in w1.load().collect()}
+    assert loaded == {"k1": "desc one", "k2": "desc two", "k3": "desc three"}
+    # compaction (single-writer maintenance) keeps the same logical table
+    assert w1.compact() == 3
+    assert {r.cache_key for r in w1.load().collect()} == {"k1", "k2", "k3"}

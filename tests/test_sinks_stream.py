@@ -151,3 +151,24 @@ def test_yaml_full_text_bounded_consumption(tmp_path):
     data = yaml.safe_load(open(paths[0], encoding="utf-8"))
     assert len(data["full_content_pages"]) == 7
     assert data["full_content_pages"][0]["url"] == "https://x.example/p0"
+
+
+def test_llms_txt_stream_no_entry_collect(spark, tmp_path):
+    """collect_entries=False must stream the v2 llms.txt body category-
+    grouped via toLocalIterator — byte-identical to the collected path — and
+    return None for the O(pages) entries/pages lists."""
+    corpus = generate_corpus(seed=31, n_hosts=1, pages_per_host=25)
+    site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
+    kw = dict(max_pages=6, generated_at="2026-08-16T00:00:00")
+    ref = pipeline.generate_llmstxt(
+        spark, site, "https://ex0.example/", str(tmp_path / "collected"), **kw
+    )
+    got = pipeline.generate_llmstxt(
+        spark, site, "https://ex0.example/", str(tmp_path / "streamed"),
+        collect_entries=False, **kw
+    )
+    ref_txt = open(ref["paths"][0], encoding="utf-8").read()
+    got_txt = open(got["paths"][0], encoding="utf-8").read()
+    assert got_txt == ref_txt
+    assert got["entries"] is None and got["pages"] is None
+    assert got["metadata"]["total_entries_processed"] == ref["metadata"]["total_entries_processed"]

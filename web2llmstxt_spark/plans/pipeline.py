@@ -43,8 +43,14 @@ def generate_llmstxt(
     robots_text: str | None = None,
     root_sitemaps: list[str] | None = None,
     output_style: str = "v2",
+    collect_entries: bool = True,
 ) -> dict:
     """Returns {'paths': [...], 'metadata': {...}, 'entries': [...], 'pages': [...]}.
+
+    ``collect_entries=False`` keeps the ENTIRE v2 text path O(1) on the
+    driver: llms.txt streams category-grouped from toLocalIterator, and
+    result['entries'] / result['pages'] are None instead of O(pages) lists.
+    (json/yaml/v1 formats still need the collected list and ignore False.)
 
     ``crawl_strategy`` mirrors the reference dispatch (v1 generator/
     llms_generator.py:694-700; v2 llmsgen pyc names
@@ -120,8 +126,35 @@ def generate_llmstxt(
     # content (render_desc fallbacks were computed distributed), the site
     # name/summary need one title + five 500-char samples, and llms-full.txt
     # streams through toLocalIterator inside the sink. Page CONTENT never
-    # accumulates on the driver at any budget.
-    entries = [r.asDict() for r in entries_df.orderBy("index").collect()]
+    # accumulates on the driver at any budget — and with
+    # collect_entries=False (text format) no O(pages) LIST forms either: the
+    # llms.txt body streams category-grouped below.
+    needs_entry_list = (
+        collect_entries or export_format.lower() in ("json", "yaml") or output_style == "v1"
+    )
+    entries = (
+        [r.asDict() for r in entries_df.orderBy("index").collect()]
+        if needs_entry_list
+        else []
+    )
+
+    # v2 llms.txt assembly streams from the entries table sorted by canonical
+    # category position then crawl index — the sort is distributed (range
+    # shuffle over content-free rows) and the driver sees one Arrow partition
+    # at a time. Categories outside CATEGORY_ORDER are dropped exactly like
+    # the legacy renderer's ordered-section loop.
+    cat_ord = F.array_position(
+        F.array(*[F.lit(c) for c in kernels.CATEGORY_ORDER]), F.col("category")
+    )
+    entries_stream_df = (
+        entries_df.filter(F.col("category").isin(*list(kernels.CATEGORY_ORDER)))
+        .withColumn("__cat_ord", cat_ord)
+        .orderBy("__cat_ord", "index")
+        .drop("__cat_ord")
+    )
+
+    def entries_iter_factory():
+        return (r.asDict() for r in entries_stream_df.toLocalIterator())
     main_title_rows = (
         pages_df.filter(
             (F.col("url") == base_url) | (F.col("url") == base_url.rstrip("/"))
@@ -147,7 +180,7 @@ def generate_llmstxt(
         "source_url": base_url,
         "domain": kernels.extract_domain_from_url(base_url),
         "total_pages_crawled": n_pages,
-        "total_entries_processed": len(entries),
+        "total_entries_processed": len(entries) if needs_entry_list else n_pages,
         "generated_at": generated_at,
         "model_used": "deterministic-fallback",
         "model_display_name": "Deterministic fallback (v2 testing mode)",
@@ -172,19 +205,24 @@ def generate_llmstxt(
         site_name=site_name,
         site_summary=site_summary,
         style=output_style,
+        entries_iter_factory=entries_iter_factory,
     )
     # bounded per-page summaries (no content) for callers/tests
-    pages = [
-        r.asDict()
-        for r in pages_df.orderBy("rank")
-        .select("rank", "url", "title", "word_count", "score", "depth", "discovery_phase")
-        .collect()
-    ]
+    pages = (
+        [
+            r.asDict()
+            for r in pages_df.orderBy("rank")
+            .select("rank", "url", "title", "word_count", "score", "depth", "discovery_phase")
+            .collect()
+        ]
+        if collect_entries
+        else None
+    )
     pages_df.unpersist()
     return {
         "paths": paths,
         "metadata": metadata,
-        "entries": entries,
+        "entries": entries if needs_entry_list else None,
         "pages": pages,
         # T4 telemetry: how many descriptions were actually computed this run
         # (None = cache disabled); a warm re-run reports 0.

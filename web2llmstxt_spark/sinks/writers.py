@@ -83,6 +83,46 @@ def render_llms_txt_prepared(
     return "\n".join(out)
 
 
+def write_llms_txt_stream(
+    path: str,
+    site_name: str,
+    site_summary: str,
+    entries_iter: Iterable,
+    metadata: dict,
+) -> None:
+    """Stream the v2 llms.txt from an entries iterator ORDERED BY
+    (category_ord, index) — byte-identical to ``render_llms_txt_prepared``
+    without ever holding the O(pages) entry list on the driver (the iterator
+    is a toLocalIterator over the distributed entries table; driver memory =
+    one Arrow partition of bounded, content-free rows).
+
+    Category sections emerge from order transitions in the sorted stream, so
+    the caller must sort by the canonical kernels.CATEGORY_ORDER position.
+    """
+    with open(path, "w", encoding="utf-8") as f:
+        w = _JoinWriter(f)
+        w.emit(f"# {site_name}\n")
+        w.emit(f"> {site_summary}\n")
+        total = metadata.get("total_pages_crawled", 0)
+        generated_date = metadata.get("generated_at", "").split("T")[0]
+        w.emit(f"Generated from {total} pages on {generated_date} using automated crawling.\n")
+        cur_cat = None
+        for e in entries_iter:
+            cat = e["category"]
+            desc = e.get("render_desc") or final_description(e.get("description"), None)
+            line = f"- [{e.get('title', 'Untitled')}]({e.get('url', '#')}): {desc}"
+            if cat != cur_cat:
+                if cur_cat is not None:
+                    f.write("\n")  # close the previous block's trailing newline
+                w.emit(f"## {cat}\n")
+                w.emit(line)  # first line of the new block element
+                cur_cat = cat
+            else:
+                f.write("\n" + line)  # continue the block element in place
+        if cur_cat is not None:
+            f.write("\n")  # final block's trailing newline
+
+
 def render_llms_txt(base_url: str, entries: list[dict], pages: list[dict], metadata: dict) -> str:
     """The llms.txt spec document from in-memory lists (golden-tested twin of
     ref llmsgen/utils/file_utils.py:107-136). Production path: compute
@@ -258,12 +298,19 @@ def write_output_files(
     site_name: str | None = None,
     site_summary: str | None = None,
     style: str = "v2",
+    entries_iter_factory=None,
 ) -> list[str]:
     """Dispatch on format (ref llmsgen/utils/file_utils.py:204-222); returns
     written paths. ``pages_df`` (rank-ordered crawl output) is only streamed,
     never collected. ``style``: 'v2' (gold spec, default) or 'v1'
     (`# DOMAIN - LLMs.txt` / `--- Page i ---` blocks,
-    generator/llms_generator.py:789-821)."""
+    generator/llms_generator.py:789-821).
+
+    ``entries_iter_factory``: zero-arg callable yielding entry dicts ordered
+    by (category_ord, index). When given, the v2 llms.txt body streams from
+    it (write_llms_txt_stream) and never needs the ``entries`` list — pass
+    entries=[] and the artifact is still complete. Other formats (json/yaml/
+    v1) still render from ``entries``."""
     os.makedirs(output_dir, exist_ok=True)
     domain = kernels.extract_domain_from_url(base_url)
     written = []
@@ -314,15 +361,13 @@ def write_output_files(
     else:
         if not full_text_only:
             path = os.path.join(output_dir, f"{domain}-llms.txt")
-            with open(path, "w", encoding="utf-8") as f:
-                f.write(
-                    render_llms_txt_prepared(
-                        site_name or kernels.site_name_from_title(base_url, None),
-                        site_summary or kernels.site_summary_from_samples([]),
-                        entries,
-                        metadata,
-                    )
-                )
+            name = site_name or kernels.site_name_from_title(base_url, None)
+            summary = site_summary or kernels.site_summary_from_samples([])
+            if entries_iter_factory is not None:
+                write_llms_txt_stream(path, name, summary, entries_iter_factory(), metadata)
+            else:
+                with open(path, "w", encoding="utf-8") as f:
+                    f.write(render_llms_txt_prepared(name, summary, entries, metadata))
             written.append(path)
         if include_full_text or full_text_only:
             path = os.path.join(output_dir, f"{domain}-llms-full.txt")

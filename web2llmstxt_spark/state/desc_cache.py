@@ -72,7 +72,18 @@ def describe_with_cache(
 
 
 class DescriptionCache:
-    """Parquet-backed cache table with load / write-through merge."""
+    """Parquet-backed cache table: append-only write-through, read-side dedup.
+
+    Concurrency contract (the 100 TB re-run shape): ``merge_and_save`` only
+    APPENDS the run's miss-delta as new part files — it never reads, rewrites
+    or overwrites existing files, so concurrent runs writing into the same
+    cache directory cannot clobber each other (Spark part-file names are
+    unique per write). Duplicate keys from racing runs are resolved at READ
+    time by ``load()``'s dropDuplicates; describe is deterministic, so any
+    surviving row for a key carries the identical description — any-wins is
+    exact, not approximate. ``compact()`` is the one rewrite operation and is
+    single-writer by contract (run it from a maintenance job, not a crawl).
+    """
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -80,21 +91,24 @@ class DescriptionCache:
 
     def load(self) -> DataFrame:
         if os.path.exists(os.path.join(self.path, "_SUCCESS")):
-            return self.spark.read.parquet(self.path)
+            return self.spark.read.parquet(self.path).dropDuplicates(["cache_key"])
         return self.spark.createDataFrame([], CACHE_SCHEMA)
 
     def merge_and_save(self, new_rows: DataFrame) -> int:
-        """Union the delta into the table (first writer wins per key) and
-        persist. Returns the number of NEW keys written."""
-        new_rows = new_rows.localCheckpoint(eager=True)  # sever lineage to old files
+        """Append the miss-delta to the table (new part files only; see the
+        class concurrency contract). Returns the number of NEW keys written."""
+        new_rows = new_rows.localCheckpoint(eager=True)  # sever lineage to cache files
         n_new = new_rows.count()
         if n_new == 0:
             return 0
-        merged = (
-            self.load()
-            .unionByName(new_rows)
-            .dropDuplicates(["cache_key"])
-            .localCheckpoint(eager=True)  # read fully before overwrite
-        )
-        merged.write.mode("overwrite").parquet(self.path)
+        new_rows.write.mode("append").parquet(self.path)
         return n_new
+
+    def compact(self) -> int:
+        """Rewrite the table with one row per key (maintenance; SINGLE-writer
+        by contract — concurrent appends during a compaction can be lost).
+        Returns the compacted row count."""
+        merged = self.load().localCheckpoint(eager=True)  # read fully before overwrite
+        n = merged.count()
+        merged.write.mode("overwrite").parquet(self.path)
+        return n
