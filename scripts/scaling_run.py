@@ -22,7 +22,7 @@ from web2llmstxt_spark.operators import dedup, textstats  # noqa: E402
 from web2llmstxt_spark.oracle.crawl_oracle import CrawlConfig  # noqa: E402
 from web2llmstxt_spark.operators.frontier import FrontierCrawler  # noqa: E402
 from web2llmstxt_spark.plans import distill  # noqa: E402
-from web2llmstxt_spark.session import get_spark  # noqa: E402
+from web2llmstxt_spark.session import get_spark, run_jobs_concurrently  # noqa: E402
 
 
 def main() -> None:
@@ -36,12 +36,23 @@ def main() -> None:
     # corpus at 16 partitions produced >2 GB map outputs and local fetch
     # failures); spark.local.dir off /tmp to dodge sandbox tmp cleaners.
     pq_bytes = os.path.getsize(os.path.join(corpus_dir, "site_pages.parquet"))
+    # round partition count UP to a multiple of cores: a fractional last wave
+    # (e.g. 27 partitions over 8 cores = 3.4 waves) leaves most slots idle
+    # while the tail finishes — the superstep-3 straggler penalty the round-2
+    # decomposition measured. On a real cluster partition count grows with
+    # data; here it must still tile the slot count evenly.
     parts = max(cores * 2, pq_bytes // (128 << 20))
+    parts = ((parts + cores - 1) // cores) * cores
     local_dir = os.path.expanduser("~/spark-local")
     os.makedirs(local_dir, exist_ok=True)
     spark = get_spark(
         f"scaling-{cores}", cores=cores, shuffle_partitions=parts,
-        extra_conf={"spark.local.dir": local_dir},
+        extra_conf={
+            "spark.local.dir": local_dir,
+            # independent distill outputs are submitted concurrently from
+            # driver threads (run_jobs_concurrently); FAIR pools share slots
+            "spark.scheduler.mode": "FAIR",
+        },
     )
     site = spark.read.parquet(os.path.join(corpus_dir, "site_pages.parquet"))
     # hash-partition by url: the fetch join then reuses this partitioning and
@@ -70,18 +81,30 @@ def main() -> None:
     crawl_wall = time.time() - t0
 
     # distill stage: describe + categorize + profile + simhash (the "distill"
-    # half of the north star, all vectorized)
+    # half of the north star, all vectorized). The three outputs are
+    # INDEPENDENT reads of the cached pages table, so they are submitted
+    # concurrently from driver threads (FAIR pools) — per-job fixed costs
+    # (stage ramp, codegen, straggler tails) overlap instead of summing,
+    # exactly as a real deployment writes independent outputs of one input.
     t1 = time.time()
     entries = distill.describe_pages(pages)
     entries = distill.categorize_entries(entries, pages)
-    entries.write.format("noop").mode("overwrite").save()
     prof = textstats.text_profile(pages, text_col="content", id_col="url")
-    prof.write.format("noop").mode("overwrite").save()
     sims = dedup.simhash(pages, "content", "url")
-    sims.write.format("noop").mode("overwrite").save()
+    results = run_jobs_concurrently(
+        spark,
+        [
+            lambda: entries.write.format("noop").mode("overwrite").save(),
+            lambda: prof.write.format("noop").mode("overwrite").save(),
+            lambda: sims.write.format("noop").mode("overwrite").save(),
+            # the seen-set count is independent of the distill outputs too
+            lambda: seen.count(),
+        ],
+        pool_prefix="distill",
+    )
     distill_wall = time.time() - t1
 
-    n_seen = seen.count()
+    n_seen = results[3]
     wall = time.time() - t0
     print(
         json.dumps(

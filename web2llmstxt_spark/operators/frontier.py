@@ -427,15 +427,26 @@ class FrontierCrawler:
                 )
 
             order = (F.desc("score"), F.asc("url"))        # canonical Q1 tie-break
+            fetched_cache = None
             if cfg.comprehensive:
                 # no slice (:220); budget bites mid-depth (:227): a candidate
                 # is ATTEMPTED iff fewer than `remaining` successes precede it
-                # in the global priority order (distributed running sum)
-                fetched = self.fetcher.fetch(cand)
+                # in the global priority order (distributed running sum).
+                # Rank on a content-free projection and join back (as in
+                # _finalize): the fetched content is cached ONCE and never
+                # crosses the rank's range shuffle or checkpoint; the join
+                # reuses the fetch join's url partitioning, so only the
+                # (url, __cum_before) table shuffles.
+                fetched_cache = self.fetcher.fetch(cand).persist()
                 appended = F.col("success") & (F.col("wc") >= 50)
-                ranked = self._with_global_rank(fetched, order, "__r", cum_col_flag=appended)
-                attempted = ranked.filter(F.col("__cum_before") < remaining).drop(
-                    "__r", "__cum_before"
+                slim = fetched_cache.select("url", "score", "success", "wc")
+                ranked = self._with_global_rank(
+                    slim, order, "__r", cum_col_flag=appended
+                ).select("url", "__cum_before")
+                attempted = (
+                    fetched_cache.join(ranked, "url")
+                    .filter(F.col("__cum_before") < remaining)
+                    .drop("__cum_before")
                 )
             else:
                 # :220 slice — but only pay for the distributed top-k when
@@ -462,6 +473,9 @@ class FrontierCrawler:
             stats = attempted.agg(
                 F.count("*").alias("att"), F.coalesce(F.sum(appended_flag), F.lit(0)).alias("added")
             ).first()
+            if fetched_cache is not None:
+                # attempted is materialized; the pre-cut fetch cache is dead
+                fetched_cache.unpersist()
             attempted_count, added = stats["att"], stats["added"]
             if attempted_count == 0:                       # :216/:221
                 attempted.unpersist()
@@ -570,12 +584,20 @@ class FrontierCrawler:
             F.col("score").desc(),
             F.col("url").asc(),
         )
-        result = self._with_global_rank(result, final_order, "rank").drop("__seed0")
+        # Rank a CONTENT-FREE projection, then join ranks back by url: page
+        # content never crosses the rank's range shuffle nor its eager
+        # checkpoint (at 10^6+ pages that was a ~2 GB serial crawl tail; the
+        # slim rows are ~2% of that). The join-back left side keeps the fetch
+        # join's url-hash partitioning through persist/union, so typically
+        # only the (url, rank) table shuffles. url is unique per page (seen
+        # dedup), so the inner join is exactly row-preserving.
+        slim = result.select("url", "depth", "__seed0", "score")
+        ranked = self._with_global_rank(slim, final_order, "rank").select("url", "rank")
+        result = result.drop("__seed0").join(ranked, "url")
         # rank IS the crawl order; returning unsorted saves a full-content
         # range-shuffle sort that every consumer either redoes (sinks,
         # pipeline: .orderBy("rank") at the point of use) or never needs
-        # (distill, dedup, profiling are order-free). At 10^6+ pages the
-        # eager sort was a fixed ~2 GB shuffle serial tail on the crawl.
+        # (distill, dedup, profiling are order-free).
         return result
 
     # ------------------------------------------------------------- link expand

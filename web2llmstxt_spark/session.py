@@ -64,3 +64,33 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addPyFile(package_zip())
     return spark
+
+
+def run_jobs_concurrently(spark: SparkSession, thunks, pool_prefix: str = "overlap"):
+    """Run independent Spark ACTIONS from driver threads so their stages
+    share the cluster instead of queueing serially.
+
+    Each thunk is a zero-arg callable performing one action (a write/count).
+    Each driver thread gets its own scheduler pool (create the session with
+    ``spark.scheduler.mode=FAIR`` so pools share fairly; even under FIFO the
+    scheduler backfills idle slots with later jobs' tasks). This is how a
+    real deployment writes independent outputs of one cached input — the
+    per-job fixed costs (stage ramp, codegen wave, straggler tails) overlap
+    instead of adding up. PySpark pinned-thread mode (default in Spark 4)
+    maps Python threads 1:1 onto JVM threads, so setLocalProperty scopes the
+    pool correctly per job.
+
+    Returns the thunk results in input order; re-raises the first failure.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _run(arg):
+        i, thunk = arg
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"{pool_prefix}{i}")
+        try:
+            return thunk()
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+    with ThreadPoolExecutor(max_workers=max(1, len(thunks))) as ex:
+        return list(ex.map(_run, enumerate(thunks)))
