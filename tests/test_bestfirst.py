@@ -116,3 +116,35 @@ def test_pipeline_bestfirst_dispatch(spark, tmp_path):
     assert res["metadata"]["crawl_strategy_used"] == "bestfirst"
     oracle = crawl_bestfirst(corpus, base, max_pages=10, batch_size=10)
     assert [p["url"] for p in res["pages"]] == oracle.order
+
+
+def test_large_budget_auto_batch_bounded_supersteps(spark):
+    """A large-budget best-first crawl with the distributed-rank pop must
+    (a) complete in O(budget/B + max_depth) supersteps — NOT budget/10
+    sequential round-trips — and (b) stay page-for-page parity-exact with
+    the oracle at the same B (the documented ordering deviation is vs
+    batch=10, not vs determinism)."""
+    from web2llmstxt_spark.operators.bestfirst import LARGE_BATCH, auto_batch_size
+
+    corpus = generate_corpus(seed=83, n_hosts=1, pages_per_host=4000)
+    base_url = corpus.seeds[0][1]
+    budget = 1500
+    b = LARGE_BATCH + 1  # force the two-pass distributed rank pop path
+    oracle = crawl_bestfirst(corpus, base_url, max_pages=budget, batch_size=b)
+    assert oracle.attempted >= 1000  # the corpus binds the claim meaningfully
+    site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
+    engine = BestFirstCrawler(spark, site, base_url, max_pages=budget, batch_size=b)
+    pages_df, seen_df = engine.crawl()
+    engine_pages = [r.asDict() for r in pages_df.collect()]
+    engine_seen = {r.url for r in seen_df.collect()}
+    assert_parity(oracle, engine_pages, engine_seen)
+    # superstep bound: ceil(attempted/B) budget steps + depth-limited
+    # frontier ramp — NOT attempted/10 sequential driver round-trips
+    max_steps = -(-oracle.attempted // b) + engine.max_depth + 1
+    assert len(engine.metrics) <= max_steps, (len(engine.metrics), max_steps)
+
+    # the auto dispatch picks a proportional batch, never below 10
+    assert auto_batch_size(100_000) == 6250
+    assert auto_batch_size(50) == 10
+    auto_engine = BestFirstCrawler(spark, site, base_url, max_pages=budget, batch_size="auto")
+    assert auto_engine.batch_size == auto_batch_size(budget) == 94

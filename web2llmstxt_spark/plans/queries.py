@@ -769,6 +769,68 @@ def sql_embed_neardup(n_planes: int = 8, threshold: float = 0.98):
     """
 
 
+def q_pipeline_e2e(spark, sf_dir):
+    """EP2 composition in ONE declarative plan: quality gate (P5+P2) ->
+    C1 priority scoring + threshold (P8) -> budget top-k (O1/O2) ->
+    G1 categorization -> per-section stats (A1/A2 shape). The driver's other
+    rows check each stage alone; this row checks the crawl->distill->
+    aggregate COMPOSITION end-to-end against one DuckDB twin (the iterative
+    frontier loop itself is covered by the pure-Python parity suite — BSP
+    iteration is not SQL-expressible)."""
+    docs = load(spark, sf_dir, "documents")
+    gated = (
+        docs.select(
+            synth_url_col().alias("url"),
+            synth_title_col().alias("title"),
+            "text",
+            textstats.token_count(F.col("text")).alias("n_tokens"),
+        )
+        .filter(
+            (F.col("n_tokens") >= 50)
+            & ~F.lower(F.col("url")).rlike(
+                r"\.(png|jpg|jpeg|gif|svg|ico|css|js|pdf|zip|xml|txt)$"
+            )
+        )
+        .withColumn("score", native.score_url_native(F.col("url"), F.lit(BASE_URL)))
+        .filter(F.col("score") > 1.0)
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(200)
+    )
+    cat = gated.withColumn(
+        "category",
+        native.categorize_native(F.col("url"), F.col("title"), F.col("text")),
+    )
+    return cat.groupBy("category").agg(
+        F.count("*").alias("n_pages"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+
+
+def sql_pipeline_e2e():
+    score = native.score_url_sql("url", BASE_URL)
+    cat = native.categorize_sql("url", "title", "text")
+    return f"""
+        WITH u AS (
+            SELECT {SYNTH_URL_SQL} AS url, {SYNTH_TITLE_SQL} AS title, text,
+                   {textstats.token_count_sql('text')} AS n_tokens
+            FROM documents),
+        gated AS (
+            SELECT url, title, text, n_tokens, {score} AS score FROM u
+            WHERE n_tokens >= 50
+              AND NOT regexp_matches(lower(url), '\\.(png|jpg|jpeg|gif|svg|ico|css|js|pdf|zip|xml|txt)$')
+        ),
+        budget AS (
+            SELECT * FROM gated WHERE score > 1.0
+            ORDER BY score DESC, url ASC LIMIT 200
+        )
+        SELECT {cat} AS category, count(*) AS n_pages,
+               round(avg(score), 4) AS avg_score,
+               round(avg(n_tokens), 4) AS avg_tokens
+        FROM budget GROUP BY 1
+    """
+
+
 REGISTRY: dict[str, tuple] = {
     # name: (spark_builder, oracle_sql_builder or None)
     "frontier_topk": (q_frontier_topk, sql_frontier_topk),
@@ -797,4 +859,5 @@ REGISTRY: dict[str, tuple] = {
     "lang_detect": (q_lang_detect, sql_lang_detect),
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "ann_lsh": (q_ann_lsh, sql_ann_lsh),
+    "pipeline_e2e": (q_pipeline_e2e, sql_pipeline_e2e),
 }
