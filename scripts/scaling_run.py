@@ -35,7 +35,15 @@ def main() -> None:
     # keyed to input size so no single shuffle block nears 2 GB (the 3.2M-page
     # corpus at 16 partitions produced >2 GB map outputs and local fetch
     # failures); spark.local.dir off /tmp to dodge sandbox tmp cleaners.
-    pq_bytes = os.path.getsize(os.path.join(corpus_dir, "site_pages.parquet"))
+    pq_path = os.path.join(corpus_dir, "site_pages.parquet")
+    pq_bytes = (
+        sum(
+            os.path.getsize(os.path.join(pq_path, f))
+            for f in os.listdir(pq_path)
+        )
+        if os.path.isdir(pq_path)  # sharded dataset (gen_corpus_parallel.py)
+        else os.path.getsize(pq_path)
+    )
     # round partition count UP to a multiple of cores: a fractional last wave
     # (e.g. 27 partitions over 8 cores = 3.4 waves) leaves most slots idle
     # while the tail finishes — the superstep-3 straggler penalty the round-2

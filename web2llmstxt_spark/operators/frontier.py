@@ -52,6 +52,11 @@ from ..functions import kernels, udfs
 from ..oracle.crawl_oracle import CrawlConfig
 from . import bloom, ranking
 
+#: below this kept-page count the finalize (url, rank) table is broadcast
+#: (~120 B/row -> ≤250 MB build side), so finalize never shuffles content;
+#: above it the join falls back to a hash shuffle (10^10-frontier safe)
+BROADCAST_RANK_MAX = 2_000_000
+
 
 @pandas_udf(StringType())
 def base_domain_udf(base_urls: pd.Series) -> pd.Series:
@@ -354,7 +359,7 @@ class FrontierCrawler:
             pages_count = pages.count()
             all_pages = [pages]
             if frontier is None or last >= cfg.depth_limit:
-                return self._finalize(all_pages), seen
+                return self._finalize(all_pages, pages_count), seen
             start_depth = last + 1
             if self.use_bloom:  # resume: rebuild bitmaps from seen ONCE
                 self._bloom = bloom.merge_bitmaps(
@@ -565,12 +570,18 @@ class FrontierCrawler:
                     json.dump(self.metrics[-1], f)
                 self._commit_superstep(depth)
 
-        return self._finalize(all_pages), seen
+        return self._finalize(all_pages, pages_count), seen
 
-    def _finalize(self, all_pages: list[DataFrame]) -> DataFrame:
+    def _finalize(self, all_pages: list[DataFrame], n_pages: int | None = None) -> DataFrame:
         """Union per-superstep pages + assign the exact crawl order ONCE:
         within a depth, pages were appended in (score desc, url asc)
-        candidate order; depth 0 in seed order (multi-seed canonicalization)."""
+        candidate order; depth 0 in seed order (multi-seed canonicalization).
+
+        ``n_pages`` (the already-known kept-page count) picks the join-back
+        strategy: below BROADCAST_RANK_MAX the (url, rank) table is
+        broadcast, so page content never shuffles AT ALL during finalize;
+        above it (or unknown) a hash join shuffles content once.
+        """
         result = all_pages[0]
         for df in all_pages[1:]:
             result = result.unionByName(df)
@@ -593,6 +604,8 @@ class FrontierCrawler:
         # dedup), so the inner join is exactly row-preserving.
         slim = result.select("url", "depth", "__seed0", "score")
         ranked = self._with_global_rank(slim, final_order, "rank").select("url", "rank")
+        if n_pages is not None and n_pages <= BROADCAST_RANK_MAX:
+            ranked = F.broadcast(ranked)
         result = result.drop("__seed0").join(ranked, "url")
         # rank IS the crawl order; returning unsorted saves a full-content
         # range-shuffle sort that every consumer either redoes (sinks,

@@ -333,6 +333,9 @@ def generate_corpus_fast(
     out_links: int = 40,
     out_dir: str | None = None,
     sentences: tuple[int, int] = (5, 14),
+    host_offset: int = 0,
+    out_name: str = "site_pages.parquet",
+    write_meta: bool = True,
 ) -> dict:
     """Bulk corpus for throughput benchmarks: same schema as generate_corpus
     but column-wise generation straight into parquet (pyarrow), ~100k pages/min.
@@ -341,6 +344,11 @@ def generate_corpus_fast(
     pages (mixed raw forms: relative / absolute / trailing-slash / tracking
     params) + a handful of noise links. Section vocabulary spans all scorer
     tiers. Returns {'n_pages', 'seeds', 'path'}.
+
+    ``host_offset``/``out_name``/``write_meta`` support sharded parallel
+    generation (scripts/gen_corpus_parallel.py): each worker emits a disjoint
+    host range into its own parquet file under a shared dataset directory —
+    hosts are self-contained link graphs, so sharding by host is exact.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -353,7 +361,7 @@ def generate_corpus_fast(
 
     urls, hosts_c, titles, spans_c, wcs, links_c, ctypes, oks = [], [], [], [], [], [], [], []
     seeds = []
-    for hi in range(n_hosts):
+    for hi in range(host_offset, host_offset + n_hosts):
         host = f"bh{hi}.example"
         base = f"https://{host}"
         seeds.append(base + "/")
@@ -419,11 +427,15 @@ def generate_corpus_fast(
     meta = {"n_pages": len(urls), "seeds": seeds}
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
-        pq.write_table(table, os.path.join(out_dir, "site_pages.parquet"))
-        import json
+        target = os.path.join(out_dir, out_name)
+        if os.path.dirname(out_name):  # sharded: out_name like site_pages.parquet/part-3.parquet
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+        pq.write_table(table, target)
+        if write_meta:
+            import json
 
-        with open(os.path.join(out_dir, "meta.json"), "w") as f:
-            json.dump(meta, f)
+            with open(os.path.join(out_dir, "meta.json"), "w") as f:
+                json.dump(meta, f)
         meta["path"] = out_dir
     return meta
 
