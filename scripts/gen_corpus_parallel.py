@@ -10,6 +10,11 @@ in the engine depends on input row order).
 Usage:
   python scripts/gen_corpus_parallel.py <out_dir> <n_hosts> <pages_per_host> \
       [out_links=40] [sent_lo=10] [sent_hi=28] [workers=8] [seed=1234]
+
+MEMORY: each worker holds its whole shard as Python lists before the one
+pyarrow write — budget ~6-7 GB per 10^6 pages per worker and do NOT run
+while a large-heap Spark JVM is up (8 workers x 1.6M pages alongside a 48g
+JVM OOM-killed both on the 125 GB sandbox box).
 """
 
 from __future__ import annotations

@@ -17,7 +17,7 @@ def _run(spark, corpus, cfg, **kw):
     engine = FrontierCrawler(spark, site, cfg, robots_rules=corpus.robots_rules, **kw)
     seeds = [(sid, url) for sid, url, _ in corpus.seeds]
     pages_df, seen_df = engine.crawl(seeds)
-    pages = [r.asDict() for r in pages_df.collect()]
+    pages = [r.asDict() for r in pages_df.orderBy("rank").collect()]
     seen = {r.url for r in seen_df.collect()}
     return engine, pages, seen
 
@@ -73,14 +73,14 @@ def test_bloom_overload_triggers_doubling_rebuild(spark):
     engine.bloom_m_bits = 64  # capacity ~6 URLs/bucket at 10 bits/key
     seeds = [(sid, url) for sid, url, _ in corpus.seeds]
     pages_df, seen_df = engine.crawl(seeds)
-    pages_on = [tuple(r) for r in pages_df.select("rank", "url", "depth").collect()]
+    pages_on = [tuple(r) for r in pages_df.select("rank", "url", "depth").orderBy("rank").collect()]
     seen_on = {r.url for r in seen_df.collect()}
     assert engine.bloom_rebuilds >= 1, "tiny bitmap must trigger the doubling rebuild"
     assert engine.bloom_m_bits > 64
 
     exact = FrontierCrawler(spark, site, cfg, robots_rules=corpus.robots_rules, use_bloom=False)
     pages_df2, seen_df2 = exact.crawl(seeds)
-    pages_off = [tuple(r) for r in pages_df2.select("rank", "url", "depth").collect()]
+    pages_off = [tuple(r) for r in pages_df2.select("rank", "url", "depth").orderBy("rank").collect()]
     seen_off = {r.url for r in seen_df2.collect()}
     assert pages_on == pages_off
     assert seen_on == seen_off

@@ -91,7 +91,7 @@ def test_flaky_transport_crawl_equals_clean_crawl(spark):
     engine = FrontierCrawler(spark, site, cfg, fetcher=fetcher)
     pages_df, seen_df = engine.crawl([(sid, url) for sid, url, _ in corpus.seeds])
     oracle = crawl(corpus, cfg)
-    got = [r.asDict() for r in pages_df.collect()]
+    got = [r.asDict() for r in pages_df.orderBy("rank").collect()]
     assert [p["url"] for p in got] == oracle.order
     for e, o in zip(got, oracle.pages):
         for f in ("url", "title", "content", "word_count", "score", "depth"):
@@ -113,7 +113,7 @@ def test_permanent_failure_enters_seen_not_pages(spark):
     engine = FrontierCrawler(spark, site, cfg, fetcher=fetcher)
     pages_df, seen_df = engine.crawl([(sid, url) for sid, url, _ in corpus.seeds])
     oracle = crawl(corpus, cfg)
-    assert [r.url for r in pages_df.collect()] == oracle.order
+    assert [r.url for r in pages_df.orderBy("rank").collect()] == oracle.order
     assert {r.url for r in seen_df.collect()} == oracle.seen
     crawled_sick = set(sick) & {r.url for r in seen_df.collect()}
     assert not crawled_sick & {r.url for r in pages_df.collect()}
