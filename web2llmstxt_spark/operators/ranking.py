@@ -42,13 +42,18 @@ def global_rank(df: DataFrame, order, rank_col: str, cum_col_flag=None) -> DataF
             acc_s += part_stats[pid]["s"] or 0
     w = Window.partitionBy("__pid").orderBy(*order)
 
-    def _map_expr(mapping):
-        expr = F.lit(0).cast("long")
-        for pid, off in mapping.items():
-            expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(expr)
-        return expr
-
-    d = d.withColumn(rank_col, F.row_number().over(w).cast("long") + _map_expr(rank_off))
+    # per-partition offsets attach via a BROADCAST join on __pid, not a
+    # WHEN chain: a chain grows the expression tree linearly with partition
+    # count (Janino/codegen degrades past a few hundred partitions; a
+    # 10^4-partition production sort would not compile)
+    off_rows = [
+        (pid, rank_off[pid], flag_off.get(pid, 0) or 0) for pid in sorted(part_stats)
+    ]
+    offs = spark.createDataFrame(
+        off_rows, "__pid int, __rank_off long, __flag_off long"
+    )
+    d = d.join(F.broadcast(offs), "__pid")
+    d = d.withColumn(rank_col, F.row_number().over(w).cast("long") + F.col("__rank_off"))
     if cum_col_flag is not None:
         local_cum = F.coalesce(
             F.sum(cum_col_flag.cast("long")).over(
@@ -56,5 +61,5 @@ def global_rank(df: DataFrame, order, rank_col: str, cum_col_flag=None) -> DataF
             ),
             F.lit(0),
         )
-        d = d.withColumn("__cum_before", local_cum + _map_expr(flag_off))
-    return d.drop("__pid")
+        d = d.withColumn("__cum_before", local_cum + F.col("__flag_off"))
+    return d.drop("__pid", "__rank_off", "__flag_off")
