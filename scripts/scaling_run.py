@@ -60,6 +60,10 @@ def main() -> None:
             # independent distill outputs are submitted concurrently from
             # driver threads (run_jobs_concurrently); FAIR pools share slots
             "spark.scheduler.mode": "FAIR",
+            # compress spilled cache blocks / checkpointed RDDs: page content
+            # is highly compressible text and the sandbox disk is the scarce
+            # resource (two 12.8M-page runs died on spill without this)
+            "spark.rdd.compress": "true",
         },
     )
     site = spark.read.parquet(os.path.join(corpus_dir, "site_pages.parquet"))
