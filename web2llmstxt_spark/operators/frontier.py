@@ -53,9 +53,9 @@ from ..oracle.crawl_oracle import CrawlConfig
 from . import bloom, ranking
 
 #: below this kept-page count the finalize (url, rank) table is broadcast
-#: (~120 B/row -> ≤250 MB build side), so finalize never shuffles content;
+#: (~120 B/row -> ≤500 MB build side), so finalize never shuffles content;
 #: above it the join falls back to a hash shuffle (10^10-frontier safe)
-BROADCAST_RANK_MAX = 2_000_000
+BROADCAST_RANK_MAX = 4_000_000
 
 
 @pandas_udf(StringType())
