@@ -20,16 +20,17 @@ from web2llmstxt_spark.sources.corpus import generate_corpus
 PAGE_FIELDS = ["url", "title", "content", "word_count", "score", "depth", "discovery_phase"]
 
 
-def run_both(spark, corpus, base_url, max_pages, batch_size, max_depth=None):
+def run_both(spark, corpus, base_url, max_pages, batch_size, max_depth=None, **kw):
     oracle = crawl_bestfirst(
         corpus, base_url, max_pages=max_pages, batch_size=batch_size, max_depth=max_depth
     )
     site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
     engine = BestFirstCrawler(
-        spark, site, base_url, max_pages=max_pages, batch_size=batch_size, max_depth=max_depth
+        spark, site, base_url, max_pages=max_pages, batch_size=batch_size,
+        max_depth=max_depth, **kw
     )
     pages_df, seen_df = engine.crawl()
-    engine_pages = [r.asDict() for r in pages_df.collect()]
+    engine_pages = [r.asDict() for r in pages_df.orderBy("rank").collect()]
     engine_seen = {r.url for r in seen_df.collect()}
     return oracle, engine_pages, engine_seen
 
@@ -76,6 +77,16 @@ def test_batched_bestfirst_default(spark):
     corpus = generate_corpus(seed=33, n_hosts=1, pages_per_host=30)
     base = corpus.seeds[0][1]
     assert_parity(*run_both(spark, corpus, base, max_pages=25, batch_size=10))
+
+
+def test_udf_keyword_scorer_parity(spark):
+    """The native JVM keyword scorer is the default since r4; the pandas-UDF
+    kernel stays as the bit-exactness oracle twin and must still match."""
+    corpus = generate_corpus(seed=33, n_hosts=1, pages_per_host=30)
+    base = corpus.seeds[0][1]
+    assert_parity(*run_both(
+        spark, corpus, base, max_pages=25, batch_size=10, use_native_scorer=False
+    ))
 
 
 def test_budget_counts_attempts_not_pages(spark):
@@ -135,7 +146,7 @@ def test_large_budget_auto_batch_bounded_supersteps(spark):
     site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
     engine = BestFirstCrawler(spark, site, base_url, max_pages=budget, batch_size=b)
     pages_df, seen_df = engine.crawl()
-    engine_pages = [r.asDict() for r in pages_df.collect()]
+    engine_pages = [r.asDict() for r in pages_df.orderBy("rank").collect()]
     engine_seen = {r.url for r in seen_df.collect()}
     assert_parity(oracle, engine_pages, engine_seen)
     # superstep bound: ceil(attempted/B) budget steps + depth-limited
@@ -148,3 +159,38 @@ def test_large_budget_auto_batch_bounded_supersteps(spark):
     assert auto_batch_size(50) == 10
     auto_engine = BestFirstCrawler(spark, site, base_url, max_pages=budget, batch_size="auto")
     assert auto_engine.batch_size == auto_batch_size(budget) == 94
+
+
+def test_pipeline_auto_batch_large_budget(spark, tmp_path, monkeypatch):
+    """End-to-end auto-batch dispatch (r3 verdict #8): generate_llmstxt(
+    crawl_strategy='bestfirst', bestfirst_batch_size='auto') at a 10^4 budget
+    must (a) pick the proportional batch, (b) complete in
+    <= AUTO_BATCH_TARGET_STEPS + depth-ramp supersteps — not budget/10
+    driver round-trips — and (c) stay page-for-page parity with the oracle
+    at the dispatched B."""
+    from web2llmstxt_spark.operators import bestfirst as bf_mod
+    from web2llmstxt_spark.plans.pipeline import generate_llmstxt
+
+    captured = {}
+    real = bf_mod.BestFirstCrawler
+
+    class Capturing(real):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            captured["engine"] = self
+
+    monkeypatch.setattr(bf_mod, "BestFirstCrawler", Capturing)
+    corpus = generate_corpus(seed=83, n_hosts=1, pages_per_host=4000)
+    base = corpus.seeds[0][1]
+    site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
+    budget = 10_000
+    res = generate_llmstxt(
+        spark, site, base, str(tmp_path), max_pages=budget,
+        crawl_strategy="bestfirst", bestfirst_batch_size="auto",
+    )
+    eng = captured["engine"]
+    assert eng.batch_size == bf_mod.auto_batch_size(budget) == 625
+    oracle = crawl_bestfirst(corpus, base, max_pages=budget, batch_size=eng.batch_size)
+    max_steps = bf_mod.AUTO_BATCH_TARGET_STEPS + eng.max_depth + 1
+    assert len(eng.metrics) <= max_steps, (len(eng.metrics), max_steps)
+    assert [p["url"] for p in res["pages"]] == oracle.order

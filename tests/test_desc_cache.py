@@ -94,7 +94,9 @@ def test_content_change_invalidates_entry(spark, tmp_path):
     assert r2["desc_cache_new"] == 1
     # both the old and the new content-hash key for the edited url are now in
     # the table (write-through appended, didn't clobber)
-    cache_rows = spark.read.parquet(cache_dir).collect()
+    from web2llmstxt_spark.state.desc_cache import DescriptionCache
+
+    cache_rows = DescriptionCache(spark, cache_dir).load().collect()
     target_keys = [r.cache_key for r in cache_rows if r.cache_key.startswith(f"{target}:")]
     assert len(target_keys) == 2
     assert len(cache_rows) == len(r1["entries"]) + 1
@@ -111,14 +113,24 @@ def test_append_only_two_writer_merge(spark, tmp_path):
     w2 = DescriptionCache(spark, path)
     d1 = spark.createDataFrame([("k1", "desc one"), ("k2", "desc two")], CACHE_SCHEMA)
     d2 = spark.createDataFrame([("k2", "desc two"), ("k3", "desc three")], CACHE_SCHEMA)
-    files_after_1 = None
-    assert w1.merge_and_save(d1) == 2
+    import glob as _glob
     import os as _os
 
-    files_after_1 = {f for f in _os.listdir(path) if f.endswith(".parquet")}
+    assert w1.merge_and_save(d1) == 2
+
+    def _parquet_files():
+        return set(_glob.glob(_os.path.join(path, "delta-*", "*.parquet")))
+
+    def _delta_dirs():
+        return set(_glob.glob(_os.path.join(path, "delta-*")))
+
+    files_after_1 = _parquet_files()
+    assert len(_delta_dirs()) == 1
     assert w2.merge_and_save(d2) == 2
-    files_after_2 = {f for f in _os.listdir(path) if f.endswith(".parquet")}
-    # append-only: writer 2 added files, never rewrote writer 1's
+    files_after_2 = _parquet_files()
+    # append-only: writer 2 wrote its OWN delta dir (own committer staging),
+    # never touched writer 1's files
+    assert len(_delta_dirs()) == 2
     assert files_after_1 <= files_after_2
     assert len(files_after_2) > len(files_after_1)
     loaded = {r.cache_key: r.description for r in w1.load().collect()}

@@ -95,13 +95,15 @@ def test_failed_fetches_enter_seen(spark):
     assert engine_seen - crawled_urls, "expected some attempted-but-not-kept URLs in seen"
 
 
-def test_native_scorer_parity(spark):
-    # the JVM Column-algebra scorer must reproduce the oracle exactly
+def test_udf_scorer_parity(spark):
+    # the native JVM scorer is the DEFAULT since r4; the pandas-UDF kernel is
+    # kept as the bit-exactness oracle twin and must STILL reproduce the
+    # oracle exactly when explicitly selected
     corpus = generate_corpus(seed=29, n_hosts=2, pages_per_host=25)
     cfg = CrawlConfig(max_pages=10)
     oracle_res = crawl(corpus, cfg)
     site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES)
-    engine = FrontierCrawler(spark, site, cfg, use_bloom=False, use_native_scorer=True)
+    engine = FrontierCrawler(spark, site, cfg, use_bloom=False, use_native_scorer=False)
     pages_df, seen_df = engine.crawl([(sid, url) for sid, url, _ in corpus.seeds])
     engine_pages = [r.asDict() for r in pages_df.orderBy("rank").collect()]
     engine_seen = {r.url for r in seen_df.collect()}

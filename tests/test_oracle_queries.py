@@ -153,3 +153,49 @@ def test_ann_ivf_kmeans_recall(spark):
         ).collect()
     }
     assert len(exact & refined) >= 8, (exact, refined)
+
+
+def test_ivf_index_one_assignment_pass_multi_query(spark, monkeypatch):
+    """IvfIndex.build pays the full-corpus coarse assignment ONCE; every
+    subsequent topk touches only its nprobe lists (r3 verdict #4: the
+    convenience ivf_topk form re-ran assignment per query). Gated by
+    counting ivf_assign invocations across a 3-query session, and by
+    result equality with the per-query convenience path."""
+    from pyspark.sql import functions as F
+
+    from web2llmstxt_spark.operators import similarity
+    from web2llmstxt_spark.plans.queries import load
+
+    emb = load(spark, SF_DIR, "embeddings").limit(400).cache()
+    qvecs = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin([0, 1, 2])).orderBy("vec_id").collect()
+    ]
+
+    calls = {"n": 0}
+    real_assign = similarity.ivf_assign
+
+    def counting_assign(*a, **kw):
+        calls["n"] += 1
+        return real_assign(*a, **kw)
+
+    monkeypatch.setattr(similarity, "ivf_assign", counting_assign)
+    index = similarity.IvfIndex.build(emb, nlist=8)
+    assert calls["n"] == 1  # the one build-time pass
+    got = [
+        [(r.vec_id, round(r.sim, 10)) for r in index.topk(q, k=5, nprobe=3).collect()]
+        for q in qvecs
+    ]
+    assert calls["n"] == 1  # THREE queries, still one assignment job total
+    monkeypatch.setattr(similarity, "ivf_assign", real_assign)
+    # same centroids (deterministic seeds) => identical results per query
+    want = [
+        [
+            (r.vec_id, round(r.sim, 10))
+            for r in similarity.ivf_topk(emb, q, k=5, nlist=8, nprobe=3).collect()
+        ]
+        for q in qvecs
+    ]
+    assert got == want
+    index.unpersist()
+    emb.unpersist()

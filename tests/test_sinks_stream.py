@@ -172,3 +172,97 @@ def test_llms_txt_stream_no_entry_collect(spark, tmp_path):
     assert got_txt == ref_txt
     assert got["entries"] is None and got["pages"] is None
     assert got["metadata"]["total_entries_processed"] == ref["metadata"]["total_entries_processed"]
+
+
+def test_yaml_stream_bytes_match_full_dump(tmp_path):
+    """write_yaml_stream must be byte-identical to the one-shot yaml.dump of
+    the same structure (sorted top-level keys, nested-list block layout),
+    including the empty-entries and no-full-pages edges."""
+    yaml = __import__("yaml")
+    entries = [
+        {"url": "https://x.example/p0", "title": "Tïtle", "description": "d: 1 # y",
+         "word_count": 5, "index": 1, "category": "Other Pages"},
+        {"url": "https://x.example/p1", "title": None, "description": "",
+         "word_count": 0, "index": 2, "category": "Key Documentation"},
+    ]
+    pages = [{"title": p["title"], "url": p["url"], "content": p["content"]} for p in PAGES[:3]]
+    cases = [
+        ({"metadata": META, "llms_entries": entries, "full_content_pages": pages}, entries, pages),
+        ({"metadata": META, "llms_entries": entries}, entries, None),
+        ({"metadata": META, "llms_entries": []}, [], None),
+    ]
+    for i, (data, ents, full) in enumerate(cases):
+        want = yaml.dump(data, default_flow_style=False, allow_unicode=True, indent=2)
+        path = str(tmp_path / f"y{i}.yaml")
+        writers.write_yaml_stream(
+            path, META, iter(ents), iter(full) if full is not None else None
+        )
+        assert open(path, encoding="utf-8").read() == want, f"case {i}"
+
+
+def test_json_stream_generator_matches_list(tmp_path):
+    """llms_entries streamed from a generator must be byte-identical to the
+    list path AND to json.dump(list, indent=2) — including the empty case."""
+    entries = [
+        {"url": f"https://x.example/p{i}", "title": f"Tïtle {i}", "description": f"d{i}",
+         "word_count": i, "index": i + 1, "category": "Other Pages"}
+        for i in range(3)
+    ]
+    for case, ents in (("some", entries), ("empty", [])):
+        p_list = str(tmp_path / f"{case}_list.json")
+        p_gen = str(tmp_path / f"{case}_gen.json")
+        writers.write_json_stream(p_list, ents, META, None)
+        writers.write_json_stream(p_gen, (e for e in ents), META, None)
+        a = open(p_list, encoding="utf-8").read()
+        assert a == open(p_gen, encoding="utf-8").read(), case
+        # the llms_entries section is exactly json.dump(ents, indent=2)
+        want_section = json.dumps(ents, indent=2, ensure_ascii=False)
+        assert f'"llms_entries": {want_section}' in a, case
+
+
+def test_v1_txt_stream_matches_render(tmp_path):
+    entries = [
+        {"url": p["url"], "title": p["title"], "description": f"desc {i}",
+         "word_count": 20, "index": i + 1, "category": "Other Pages",
+         "render_desc": f"desc {i}"}
+        for i, p in enumerate(PAGES[:4])
+    ]
+    path = str(tmp_path / "v1s.txt")
+    writers.write_llms_txt_v1_stream(
+        path, "x.example", iter(entries), len(entries), "2026-08-16 00:00:00"
+    )
+    legacy = writers.render_llms_txt_v1("x.example", entries, "2026-08-16 00:00:00")
+    assert open(path, encoding="utf-8").read() == legacy
+
+
+def test_all_formats_honor_no_entry_collect(spark, tmp_path):
+    """collect_entries=False must be honored by EVERY format (r3 verdict #7):
+    json/yaml/v1 stream index-ordered entries and produce the same entry
+    sequence as the collected path (metadata differs only in the measured
+    processing time)."""
+    yaml = __import__("yaml")
+    corpus = generate_corpus(seed=31, n_hosts=1, pages_per_host=25)
+    site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
+    kw = dict(max_pages=6, generated_at="2026-08-16T00:00:00")
+    for fmt, style in (("json", "v2"), ("yaml", "v2"), ("text", "v1")):
+        ref = pipeline.generate_llmstxt(
+            spark, site, "https://ex0.example/", str(tmp_path / f"{fmt}{style}_c"),
+            export_format=fmt, output_style=style, **kw
+        )
+        got = pipeline.generate_llmstxt(
+            spark, site, "https://ex0.example/", str(tmp_path / f"{fmt}{style}_s"),
+            export_format=fmt, output_style=style, collect_entries=False, **kw
+        )
+        assert got["entries"] is None and got["pages"] is None, (fmt, style)
+        if fmt == "json":
+            a = json.load(open(ref["paths"][0], encoding="utf-8"))
+            b = json.load(open(got["paths"][0], encoding="utf-8"))
+            assert a["llms_entries"] == b["llms_entries"]
+        elif fmt == "yaml":
+            a = yaml.safe_load(open(ref["paths"][0], encoding="utf-8"))
+            b = yaml.safe_load(open(got["paths"][0], encoding="utf-8"))
+            assert a["llms_entries"] == b["llms_entries"]
+        else:  # v1 text: bytes identical (header has no processing time)
+            a = open(ref["paths"][0], encoding="utf-8").read()
+            b = open(got["paths"][0], encoding="utf-8").read()
+            assert a == b

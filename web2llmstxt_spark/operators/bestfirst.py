@@ -32,10 +32,10 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
-from ..functions import kernels, udfs
+from ..functions import kernels, native, udfs
 from ..oracle.bestfirst_oracle import depth_for_max_pages
 from . import ranking
-from .frontier import TableFetcher
+from .frontier import BROADCAST_RANK_MAX, TableFetcher
 
 #: above this batch size the top-B pop uses the distributed two-pass rank
 #: instead of TakeOrdered (driver would merge P x B rows serially)
@@ -84,6 +84,7 @@ class BestFirstCrawler:
         batch_size: int | str | None = 10,
         max_depth: int | None = None,
         run_id: str = "bf",
+        use_native_scorer: bool = True,
     ):
         self.spark = spark
         self.fetcher = TableFetcher(site_pages)
@@ -98,6 +99,10 @@ class BestFirstCrawler:
         )
         self.max_depth = depth_for_max_pages(max_pages) if max_depth is None else max_depth
         self.keywords = kernels.bestfirst_keywords(base_url)
+        # JVM Column twin of the keyword scorer (functions/native.py) —
+        # DEFAULT ON: link scoring is the per-URL hot loop; the pandas UDF
+        # stays as the bit-exactness oracle twin (use_native_scorer=False).
+        self.use_native_scorer = use_native_scorer
         self.run_id = run_id
         self.metrics: list[dict] = []
 
@@ -136,7 +141,8 @@ class BestFirstCrawler:
         return batch.localCheckpoint(eager=True)
 
     def crawl(self) -> tuple[DataFrame, DataFrame]:
-        """Returns (pages_df ordered by rank, seen_df)."""
+        """Returns (rank-annotated pages_df — UNSORTED, sort on "rank" at the
+        point of use — and seen_df)."""
         spark = self.spark
         start = kernels.normalize_url(self.base_url)
         frontier = spark.createDataFrame(
@@ -147,7 +153,10 @@ class BestFirstCrawler:
         attempted = 0
         superstep = 0
         page_parts: list[DataFrame] = []
-        kw_udf = _kw_score_udf(self.keywords)
+        if self.use_native_scorer:
+            kw_score = lambda c: native.keyword_score_native(c, self.keywords)
+        else:
+            kw_score = _kw_score_udf(self.keywords)
 
         while frontier_count > 0 and attempted < self.max_pages:
             b = min(self.batch_size, self.max_pages - attempted)
@@ -189,7 +198,7 @@ class BestFirstCrawler:
                 .groupBy("url")
                 .agg(F.min("depth").alias("depth"))  # min parent depth (spec)
                 .join(seen, "url", "left_anti")
-                .withColumn("score", kw_udf(F.col("url")))
+                .withColumn("score", kw_score(F.col("url")))
             )
             frontier_next = frontier.join(batch.select("url"), "url", "left_anti").unionByName(
                 links
@@ -226,5 +235,17 @@ class BestFirstCrawler:
             F.asc("depth"),
             F.asc("url"),
         )
-        result = ranking.global_rank(result, order, "rank").drop("__step")
-        return result.orderBy("rank"), seen
+        # Rank a CONTENT-FREE projection and join ranks back (mirror of
+        # frontier._finalize): page content never crosses the rank's range
+        # shuffle nor its eager checkpoint — the dominant tail for auto-batch
+        # 10^5+ budgets. url is unique per page (seen gating), so the inner
+        # join is exactly row-preserving; `attempted` (<= max_pages) bounds
+        # the kept-page count for the broadcast decision. Returned UNSORTED:
+        # rank IS the emission order; consumers that need the sorted view
+        # (.orderBy("rank")) pay the content-free sort at the point of use.
+        slim = result.select("url", "__step", "score", "depth")
+        ranked = ranking.global_rank(slim, order, "rank").select("url", "rank")
+        if attempted <= BROADCAST_RANK_MAX:
+            ranked = F.broadcast(ranked)
+        result = result.drop("__step").join(ranked, "url")
+        return result, seen

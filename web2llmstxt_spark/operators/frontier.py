@@ -138,7 +138,7 @@ class FrontierCrawler:
         run_dir: str | None = None,
         num_buckets: int = 32,
         use_bloom: bool = True,
-        use_native_scorer: bool = False,
+        use_native_scorer: bool = True,
         run_id: str = "run",
         fetcher=None,
     ):
@@ -152,8 +152,10 @@ class FrontierCrawler:
         self.num_buckets = num_buckets
         self.use_bloom = use_bloom
         # JVM Column-algebra scorer (functions/native.py): same results as the
-        # pandas-UDF kernel (parity-tested), ~no Python boundary — the bulk
-        # fast path; the UDF remains the bit-exactness reference.
+        # pandas-UDF kernel (parity-tested), ~no Python boundary. DEFAULT ON —
+        # scoring is the highest-volume per-URL computation at a 10^10-URL
+        # frontier; the pandas-UDF kernel remains the bit-exactness oracle
+        # twin (use_native_scorer=False) for parity tests.
         self.use_native_scorer = use_native_scorer
         self.run_id = run_id
         self.metrics: list[dict] = []
@@ -327,7 +329,18 @@ class FrontierCrawler:
         seeds_df = spark.createDataFrame(
             [(sid, url) for sid, url in seeds], "seed_id int, base_url string"
         ).withColumn("base_domain", base_domain_udf(F.col("base_url")))
-        seeds_df = seeds_df.withColumn("url", udfs.normalize_url_udf(F.col("base_url")))
+        # Dedup on the NORMALIZED url: _finalize (and the comprehensive-mode
+        # budget cut) join ranks back by url assuming uniqueness — two seeds
+        # that normalize to the same URL (trailing-slash variants) would
+        # otherwise duplicate depth-0 rows and fan that join out. Lowest
+        # seed_id wins, keeping the crawl order deterministic.
+        w_seed = Window.partitionBy("url").orderBy(F.asc("seed_id"))
+        seeds_df = (
+            seeds_df.withColumn("url", udfs.normalize_url_udf(F.col("base_url")))
+            .withColumn("__sr", F.row_number().over(w_seed))
+            .filter(F.col("__sr") == 1)
+            .drop("__sr")
+        )
 
         # --- depth 0: main pages (ref :196-206 (pyc); score 10.0, no wc gate)
         fetched0 = self.fetcher.fetch(seeds_df)

@@ -27,6 +27,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions import png
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -61,10 +63,16 @@ IMAGE_FEATURES = StructType(
     [
         StructField("doc_id", StringType()),
         StructField("media_ref", StringType()),
+        StructField("width", IntegerType()),             # null for decoder='fake'
+        StructField("height", IntegerType()),
         StructField("feat", ArrayType(DoubleType())),    # 16-dim embedding
         StructField("mean_luma", DoubleType()),
     ]
 )
+
+#: BT.601 luma weights x1000 — integer so the per-image luma SUM is exact and
+#: the single closing division is bit-identical across Python and DuckDB
+_LUMA_MILLI = (299, 587, 114)
 
 
 def _fake_decode_stats(blob: bytes, dims: int = 16) -> tuple[list[float], float]:
@@ -76,27 +84,70 @@ def _fake_decode_stats(blob: bytes, dims: int = 16) -> tuple[list[float], float]
     return feat, luma
 
 
+def _png_decode_stats(blob: bytes) -> tuple[int, int, list[float], float]:
+    """REAL decode (functions/png.py, stdlib zlib) -> deterministic pixel
+    stats, each a single exact-integer division so the DuckDB oracle twin
+    reproduces them bit-identically:
+
+    - ``feat[j]`` = fraction of pixel bytes with high nibble j (16-bin byte
+      histogram), count / n_bytes;
+    - ``mean_luma`` = mean BT.601 luma over pixels in [0,1]: the integer sum
+      of 299R+587G+114B divided once by 255*1000*n_pixels (grayscale: R=G=B;
+      RGBA: alpha excluded).
+    """
+    w, h, ch, px = png.decode_png(blob)
+    nbins = [0] * 16
+    for b in px:
+        nbins[b >> 4] += 1
+    rgb_ch = min(ch, 3)
+    luma = 0
+    for i in range(0, len(px), ch):
+        if ch == 1:
+            luma += 1000 * px[i]
+        else:
+            luma += sum(_LUMA_MILLI[c] * px[i + c] for c in range(rgb_ch))
+    n_bytes = len(px)
+    n_pix = w * h
+    return w, h, [n / n_bytes for n in nbins], luma / (255 * 1000 * n_pix)
+
+
 def extract_image_features(media: DataFrame, decoder: str = "fake",
                            dims: int = 16) -> DataFrame:
-    """image blobs -> feature vectors via mapInPandas (Arrow batches)."""
-    if decoder != "fake":
+    """image blobs -> feature vectors via mapInPandas (Arrow batches).
+
+    ``decoder='png'``: REAL decode via the stdlib codec (functions/png.py) —
+    width/height come from the parsed IHDR and feat/mean_luma from actual
+    pixel bytes, so a corrupted blob or a codec bug fails loudly here.
+    ``decoder='fake'``: blake2b stand-in (width/height null). Other decoders
+    (jpeg/webp) need PIL and raise with the production recipe.
+    """
+    if decoder not in ("fake", "png"):
         raise NotImplementedError(
-            "real decoders unavailable in this container; production: "
+            "non-PNG decoders unavailable in this container; production: "
             "PIL.Image.open(io.BytesIO(blob)).convert('RGB') -> resize -> "
             "model.encode inside this same mapInPandas body"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, lumas = [], []
+            ws, hs, feats, lumas = [], [], [], []
             for blob in pdf["blob"]:
-                f, l = _fake_decode_stats(bytes(blob) if blob is not None else b"", dims)
+                raw = bytes(blob) if blob is not None else b""
+                if decoder == "png":
+                    w, h, f, l = _png_decode_stats(raw)
+                else:
+                    f, l = _fake_decode_stats(raw, dims)
+                    w = h = None
+                ws.append(w)
+                hs.append(h)
                 feats.append(f)
                 lumas.append(l)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_ref": pdf["media_ref"],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
                     "feat": feats,
                     "mean_luma": lumas,
                 }
@@ -173,25 +224,70 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
     return vids.mapInPandas(run, FRAMES)
 
 
+#: synthetic PNG geometry: 8x8 RGB = 192 pixel bytes = 12 md5 chunks
+SYNTH_W = SYNTH_H = 8
+_SYNTH_CHUNKS = SYNTH_W * SYNTH_H * 3 // 16
+
+
+def synth_png_pixels(media_ref: str) -> bytes:
+    """Deterministic pixel bytes for a media_ref: the md5 chain
+    ``md5(ref + ':' + i)`` for chunk i — the SAME byte sequence the DuckDB
+    oracle twin derives from md5() hex in SQL, so the driver-checked
+    ``media_features`` stats verify the encode->decode round trip
+    end-to-end (wrong unfilter => wrong bytes => hash mismatch)."""
+    return b"".join(
+        hashlib.md5(f"{media_ref}:{i}".encode()).digest() for i in range(_SYNTH_CHUNKS)
+    )
+
+
+def _synth_png_blob(media_ref: str) -> bytes:
+    # default cycling filters: all five PNG filter paths exercised per image
+    return png.encode_png(SYNTH_W, SYNTH_H, synth_png_pixels(media_ref))
+
+
+def _attach_png_blobs(imgs: DataFrame) -> DataFrame:
+    """(doc_id, media_ref) -> full media rows with REAL PNG blobs, encoded in
+    Arrow-batched mapInPandas (stdlib codec; blobs never cross a shuffle —
+    derive features first, then join by id)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": "image",
+                    "blob": [_synth_png_blob(r) for r in pdf["media_ref"]],
+                    "meta": [
+                        {"mime": "image/png", "width": SYNTH_W, "height": SYNTH_H,
+                         "duration_ms": None}
+                        for _ in pdf["media_ref"]
+                    ],
+                }
+            )
+
+    return imgs.mapInPandas(run, MEDIA)
+
+
 def media_from_documents(documents: DataFrame) -> DataFrame:
     """Derive a media table from interleaved documents: one row per image
-    span, with a deterministic fake blob (blake2b of the media_ref)."""
+    span, with a real (deterministically synthesized) PNG blob."""
     imgs = documents.select(
         "doc_id",
         F.explode(
             F.filter(F.col("spans"), lambda s: s["kind"] == "image")
         ).alias("s"),
     ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
-    return (
-        imgs.withColumn("kind", F.lit("image"))
-        .withColumn("blob", F.sha2(F.col("media_ref"), 256).cast("binary"))
-        .withColumn(
-            "meta",
-            F.struct(
-                F.lit("image/png").alias("mime"),
-                F.lit(64).alias("width"),
-                F.lit(64).alias("height"),
-                F.lit(None).cast("long").alias("duration_ms"),
-            ),
-        )
+    return _attach_png_blobs(imgs)
+
+
+def synth_media(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Derive a media table from a FLAT documents table (the testdata shape:
+    no spans column): one image per document, ``media_ref = 'img-'||doc_id``,
+    blob = the deterministic synthetic PNG. The driver-checked
+    ``media_features`` input."""
+    imgs = documents.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.concat(F.lit("img-"), F.col(id_col).cast("string")).alias("media_ref"),
     )
+    return _attach_png_blobs(imgs)

@@ -250,6 +250,59 @@ def kmeans_refine(
     return centroids
 
 
+def _cos_py(a, b) -> float:
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(y * y for y in b))
+    return dot / (na * nb) if na and nb else 0.0
+
+
+class IvfIndex:
+    """Materialized IVF index: the (vec_id, cid) coarse assignment computed
+    ONCE (persisted + materialized at build), plus the driver-side centroid
+    list. A ``topk`` query then touches only its nprobe lists — no per-query
+    full-corpus assignment scan. This is the ANN serving shape at 100 TB:
+    index build is the one full pass (amortized over every query; persist to
+    parquet/Iceberg alongside the vectors for reuse across jobs via
+    ``save``/``load``), queries are centroid argmax on the driver (nlist
+    rows) + a semi-join against the assignment table.
+    """
+
+    def __init__(self, df: DataFrame, centroids: list[tuple[int, list[float]]],
+                 assigned: DataFrame, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        self.df = df
+        self.centroids = centroids
+        self.assigned = assigned
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(cls, df: DataFrame, nlist: int = 16, kmeans_iters: int = 0,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> "IvfIndex":
+        centroids = ivf_centroids(df, nlist, vec_col, id_col)
+        if kmeans_iters > 0:
+            centroids = kmeans_refine(df, centroids, kmeans_iters, vec_col, id_col)
+        assigned = ivf_assign(df, centroids, vec_col, id_col).persist()
+        assigned.count()  # materialize: the ONE full-corpus assignment pass
+        return cls(df, centroids, assigned, vec_col, id_col)
+
+    def probe_cids(self, query_vec: list[float], nprobe: int) -> list[int]:
+        return [
+            cid
+            for cid, _ in sorted(self.centroids, key=lambda c: -_cos_py(c[1], query_vec))[:nprobe]
+        ]
+
+    def topk(self, query_vec: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
+        cids = self.probe_cids(query_vec, nprobe)
+        cand_ids = self.assigned.filter(F.col("cid").isin(cids)).select(self.id_col)
+        sub = self.df.join(cand_ids, self.id_col, "left_semi")
+        return cosine_topk(sub, query_vec, k, self.vec_col, self.id_col)
+
+    def unpersist(self):
+        self.assigned.unpersist()
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -260,27 +313,28 @@ def ivf_topk(
     id_col: str = "vec_id",
     centroids: list[tuple[int, list[float]]] | None = None,
     kmeans_iters: int = 0,
+    index: IvfIndex | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe centroid lists nearest the
-    query, exact cosine only within them. The scale path for ANN: assignment
-    is precomputed/bucketed once, each query touches ~nprobe/nlist of data.
+    query, exact cosine only within them.
+
+    Pass ``index`` (IvfIndex.build once, reuse per query) for the serving
+    path: the coarse assignment is materialized at build and a query touches
+    only its ~nprobe/nlist of the data. WITHOUT an index this convenience
+    form recomputes the full-corpus assignment for THIS call — fine for a
+    one-shot query or the driver oracle, wrong in a query loop.
 
     ``kmeans_iters`` > 0 runs Lloyd refinement over the deterministic seed
     centroids (kmeans_refine) — the production quantizer; 0 keeps the seeds
     (bit-reproducible across engines, used by the driver oracle)."""
+    if index is not None:
+        return index.topk(query_vec, k, nprobe)
     if centroids is None:
         centroids = ivf_centroids(df, nlist, vec_col, id_col)
         if kmeans_iters > 0:
             centroids = kmeans_refine(df, centroids, kmeans_iters, vec_col, id_col)
-
-    def cos(a, b):
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(y * y for y in b))
-        return dot / (na * nb) if na and nb else 0.0
-
     probe_cids = [
-        cid for cid, _ in sorted(centroids, key=lambda c: -cos(c[1], query_vec))[:nprobe]
+        cid for cid, _ in sorted(centroids, key=lambda c: -_cos_py(c[1], query_vec))[:nprobe]
     ]
     assigned = ivf_assign(df, centroids, vec_col, id_col)
     cand_ids = assigned.filter(F.col("cid").isin(probe_cids)).select(id_col)

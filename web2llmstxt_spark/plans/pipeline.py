@@ -113,9 +113,12 @@ def generate_llmstxt(
 
         cache = DescriptionCache(spark, desc_cache_dir)
         entries_df, new_cache = describe_with_cache(pages_df, cache.load())
-        # materialize BEFORE write-through: entries lazily reference the OLD
-        # cache files, which merge_and_save is about to overwrite (entries
-        # carry no page content, so this checkpoint is bounded)
+        # merge_and_save is append-only (new delta dir, never rewrites the
+        # files entries' lineage reads), so this checkpoint is not a
+        # correctness requirement anymore — it stays because entries_df is
+        # consumed by several downstream actions (collect, the category-sorted
+        # llms.txt stream) and the checkpoint computes describe once; entries
+        # carry no page content, so it is bounded.
         entries_df = entries_df.localCheckpoint(eager=True)
         desc_cache_new = cache.merge_and_save(new_cache)
     else:
@@ -127,16 +130,19 @@ def generate_llmstxt(
     # name/summary need one title + five 500-char samples, and llms-full.txt
     # streams through toLocalIterator inside the sink. Page CONTENT never
     # accumulates on the driver at any budget — and with
-    # collect_entries=False (text format) no O(pages) LIST forms either: the
-    # llms.txt body streams category-grouped below.
-    needs_entry_list = (
-        collect_entries or export_format.lower() in ("json", "yaml") or output_style == "v1"
-    )
+    # collect_entries=False no O(pages) LIST forms for ANY format: llms.txt
+    # streams category-grouped below, json/yaml/v1 stream index-ordered
+    # (entries_index_iter_factory).
+    needs_entry_list = collect_entries
     entries = (
         [r.asDict() for r in entries_df.orderBy("index").collect()]
         if needs_entry_list
         else []
     )
+
+    def entries_index_iter_factory():
+        # index order == crawl rank order: the json/yaml/v1 entry sequence
+        return (r.asDict() for r in entries_df.orderBy("index").toLocalIterator())
 
     # v2 llms.txt assembly streams from the entries table sorted by canonical
     # category position then crawl index — the sort is distributed (range
@@ -206,6 +212,7 @@ def generate_llmstxt(
         site_summary=site_summary,
         style=output_style,
         entries_iter_factory=entries_iter_factory,
+        entries_index_iter_factory=None if needs_entry_list else entries_index_iter_factory,
     )
     # bounded per-page summaries (no content) for callers/tests
     pages = (

@@ -831,6 +831,54 @@ def sql_pipeline_e2e():
     """
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal decode, REAL: one synthetic 8x8 RGB PNG per document
+    (pixel bytes = md5 chain of the media_ref, encoded with CYCLING PNG row
+    filters), decoded by the stdlib codec (functions/png.py) inside
+    mapInPandas, reduced to exact-arithmetic pixel stats. The oracle derives
+    the same bytes from md5() hex in SQL — any encode/unfilter bug changes
+    the decoded bytes and fails the hash match, so this row verifies the
+    codec round trip end-to-end, not just plumbing."""
+    from ..operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.synth_media(docs)
+    feats = multimodal.extract_image_features(media, decoder="png")
+    # feat array -> scalar columns: the driver's value compare stringifies
+    # cells, and list cells render differently across engines
+    return feats.select(
+        "doc_id", "media_ref", "width", "height", "mean_luma",
+        *[F.col("feat")[i].alias(f"feat_{i}") for i in range(16)],
+    )
+
+
+def sql_media_features():
+    # byte v at pixel position p: hex pair 2*(p%16) of md5(ref || ':' || p//16),
+    # decoded via strpos on the hex alphabet (no blob indexing needed).
+    byte_v = (
+        "(strpos('0123456789abcdef', substr(md5(media_ref || ':' || CAST(p // 16 AS VARCHAR)), (p % 16) * 2 + 1, 1)) - 1) * 16"
+        " + strpos('0123456789abcdef', substr(md5(media_ref || ':' || CAST(p // 16 AS VARCHAR)), (p % 16) * 2 + 2, 1)) - 1"
+    )
+    feats = ", ".join(
+        f"count(*) FILTER (WHERE v // 16 = {j}) / 192.0 AS feat_{j}" for j in range(16)
+    )
+    return f"""
+        WITH refs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'img-' || CAST(doc_id AS VARCHAR) AS media_ref
+            FROM documents),
+        b AS (
+            SELECT doc_id, media_ref, p, {byte_v} AS v
+            FROM refs CROSS JOIN generate_series(0, 191) AS g(p))
+        SELECT doc_id, media_ref,
+               CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+               SUM((CASE p % 3 WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END) * v)
+                   / 16320000.0 AS mean_luma,
+               {feats}
+        FROM b GROUP BY 1, 2
+    """
+
+
 REGISTRY: dict[str, tuple] = {
     # name: (spark_builder, oracle_sql_builder or None)
     "frontier_topk": (q_frontier_topk, sql_frontier_topk),
@@ -860,4 +908,5 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "ann_lsh": (q_ann_lsh, sql_ann_lsh),
     "pipeline_e2e": (q_pipeline_e2e, sql_pipeline_e2e),
+    "media_features": (q_media_features, sql_media_features),
 }

@@ -261,19 +261,38 @@ def _entry_public(e: dict) -> dict:
     return {k: v for k, v in e.items() if k != "render_desc"}
 
 
+def _json_dump_list_stream(f, items: Iterable) -> None:
+    """Stream a JSON array element-by-element, byte-identical to
+    ``json.dump(list(items), f, indent=2, ensure_ascii=False)`` — each
+    element is dumped with indent=2 and re-indented two spaces, exactly the
+    nesting json.dump applies inside a top-level list. Driver memory = one
+    element at a time."""
+    first = True
+    for it in items:
+        if first:
+            f.write("[")
+        s = json.dumps(it, indent=2, ensure_ascii=False)
+        s = "\n".join("  " + ln for ln in s.splitlines())
+        f.write(("\n" if first else ",\n") + s)
+        first = False
+    f.write("\n]" if not first else "[]")
+
+
 def write_json_stream(
     path: str,
-    entries: list[dict],
+    entries: Iterable,
     metadata: dict,
     full_pages_iter: Iterator | None,
 ) -> None:
-    """JSON sink; ``full_content_pages`` (when requested) streams row by row
-    so page content never accumulates on the driver."""
+    """JSON sink; ``llms_entries`` streams entry-by-entry (``entries`` may be
+    any iterable — a toLocalIterator-backed generator keeps the whole sink
+    O(1) on the driver) and ``full_content_pages`` (when requested) streams
+    row by row so page content never accumulates on the driver."""
     with open(path, "w", encoding="utf-8") as f:
         f.write('{\n"metadata": ')
         json.dump(metadata, f, indent=2, ensure_ascii=False)
         f.write(',\n"llms_entries": ')
-        json.dump([_entry_public(e) for e in entries], f, indent=2, ensure_ascii=False)
+        _json_dump_list_stream(f, (_entry_public(e) for e in entries))
         if full_pages_iter is not None:
             f.write(',\n"full_content_pages": [')
             first = True
@@ -284,6 +303,73 @@ def write_json_stream(
                 first = False
             f.write("\n]")
         f.write("\n}")
+
+
+def _yaml_kwargs():
+    return dict(default_flow_style=False, allow_unicode=True, indent=2)
+
+
+def _yaml_dump_key_list_stream(f, key: str, items: Iterable) -> None:
+    """Stream ``key: [items...]`` element-by-element, byte-identical to the
+    key's section in ``yaml.dump({key: list(items), ...})``: pyyaml renders a
+    nested block list at the parent indent, so concatenating per-element
+    single-item-list dumps reproduces the full-list bytes exactly."""
+    it = iter(items)
+    try:
+        first = next(it)
+    except StopIteration:
+        f.write(yaml.dump({key: []}, **_yaml_kwargs()))
+        return
+    f.write(f"{key}:\n")
+    f.write(yaml.dump([first], **_yaml_kwargs()))
+    for item in it:
+        f.write(yaml.dump([item], **_yaml_kwargs()))
+
+
+def write_yaml_stream(
+    path: str,
+    metadata: dict,
+    entries_iter: Iterable,
+    full_pages_iter: Iterator | None,
+) -> None:
+    """YAML sink, streamed: byte-identical to
+    ``yaml.dump({'metadata': ..., 'llms_entries': [...],
+    'full_content_pages': [...]}, default_flow_style=False,
+    allow_unicode=True, indent=2)`` — pyyaml sorts top-level keys
+    (sort_keys default), so sections emit in sorted-key order — without ever
+    holding the entry list or page content list on the driver."""
+    sections: dict[str, object] = {"metadata": metadata, "llms_entries": entries_iter}
+    if full_pages_iter is not None:
+        sections["full_content_pages"] = full_pages_iter
+    with open(path, "w", encoding="utf-8") as f:
+        for key in sorted(sections):
+            v = sections[key]
+            if isinstance(v, dict):
+                f.write(yaml.dump({key: v}, **_yaml_kwargs()))
+            else:
+                _yaml_dump_key_list_stream(f, key, v)
+
+
+def write_llms_txt_v1_stream(
+    path: str,
+    domain: str,
+    entries_iter: Iterable,
+    total_entries: int,
+    generated_on: str,
+) -> None:
+    """v1 llms.txt (generator/llms_generator.py:789-801) streamed per entry;
+    byte-identical to render_llms_txt_v1 given the same entry sequence. The
+    header's entry count is passed in (known from the crawl's page count) so
+    the stream needs no pre-pass."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(f"# {domain.upper()} - LLMs.txt\n")
+        f.write(f"# Generated on {generated_on}\n")
+        f.write(f"# Total pages: {total_entries}\n\n")
+        for e in entries_iter:
+            f.write(f"## {e.get('title', 'Untitled')}\n")
+            f.write(f"URL: {e.get('url', '')}\n")
+            desc = e.get("render_desc") or final_description(e.get("description"), None)
+            f.write(f"Description: {desc}\n\n")
 
 
 def write_output_files(
@@ -299,6 +385,7 @@ def write_output_files(
     site_summary: str | None = None,
     style: str = "v2",
     entries_iter_factory=None,
+    entries_index_iter_factory=None,
 ) -> list[str]:
     """Dispatch on format (ref llmsgen/utils/file_utils.py:204-222); returns
     written paths. ``pages_df`` (rank-ordered crawl output) is only streamed,
@@ -309,13 +396,18 @@ def write_output_files(
     ``entries_iter_factory``: zero-arg callable yielding entry dicts ordered
     by (category_ord, index). When given, the v2 llms.txt body streams from
     it (write_llms_txt_stream) and never needs the ``entries`` list — pass
-    entries=[] and the artifact is still complete. Other formats (json/yaml/
-    v1) still render from ``entries``."""
+    entries=[] and the artifact is still complete.
+
+    ``entries_index_iter_factory``: zero-arg callable yielding entry dicts
+    ordered by index (the json/yaml/v1 entry order). When given, those
+    formats stream from it instead of the ``entries`` list — EVERY format is
+    then O(1) driver memory."""
     os.makedirs(output_dir, exist_ok=True)
     domain = kernels.extract_domain_from_url(base_url)
     written = []
     fmt = export_format.lower()
     total_pages = metadata.get("total_pages_crawled", 0)
+    total_entries = metadata.get("total_entries_processed", len(entries))
 
     def full_pages_iter():
         return (
@@ -324,35 +416,42 @@ def write_output_files(
             .toLocalIterator()
         )
 
+    def indexed_entries():
+        if entries_index_iter_factory is not None:
+            return entries_index_iter_factory()
+        return iter(entries)
+
     if fmt == "json":
         path = os.path.join(output_dir, f"{domain}-llms.json")
         write_json_stream(
-            path, entries, metadata, full_pages_iter() if include_full_text else None
+            path, indexed_entries(), metadata,
+            full_pages_iter() if include_full_text else None,
         )
         written.append(path)
     elif fmt == "yaml":
         if not _HAS_YAML:
             raise NotImplementedError("pyyaml not available in this environment")
-        data = {"metadata": metadata, "llms_entries": [_entry_public(e) for e in entries]}
+        full_iter = None
         if include_full_text:
-            # yaml has no incremental dump API worth the complexity, but the
-            # page iterator must be SLICED, not materialized: islice consumes
+            # the page iterator is SLICED, not materialized: islice consumes
             # only max_full_text_pages rows from the toLocalIterator stream,
             # so the driver never holds the full crawl's content at once
             max_full = metadata.get("max_full_text_pages") or None
-            data["full_content_pages"] = [
+            full_iter = (
                 r.asDict() for r in itertools.islice(full_pages_iter(), max_full)
-            ]
+            )
         path = os.path.join(output_dir, f"{domain}-llms.yaml")
-        with open(path, "w", encoding="utf-8") as f:
-            yaml.dump(data, f, default_flow_style=False, allow_unicode=True, indent=2)
+        write_yaml_stream(
+            path, metadata, (_entry_public(e) for e in indexed_entries()), full_iter
+        )
         written.append(path)
     elif style == "v1":
         generated_on = metadata.get("generated_at", "").replace("T", " ").split(".")[0]
-        if not full_text_only and entries:
+        if not full_text_only and total_entries:
             path = os.path.join(output_dir, f"{domain}-llms.txt")
-            with open(path, "w", encoding="utf-8") as f:
-                f.write(render_llms_txt_v1(domain, entries, generated_on))
+            write_llms_txt_v1_stream(
+                path, domain, indexed_entries(), total_entries, generated_on
+            )
             written.append(path)
         if include_full_text or full_text_only:
             path = os.path.join(output_dir, f"{domain}-llms-full.txt")

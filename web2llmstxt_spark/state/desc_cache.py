@@ -15,7 +15,10 @@ description) — never page content.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -74,41 +77,63 @@ def describe_with_cache(
 class DescriptionCache:
     """Parquet-backed cache table: append-only write-through, read-side dedup.
 
-    Concurrency contract (the 100 TB re-run shape): ``merge_and_save`` only
-    APPENDS the run's miss-delta as new part files — it never reads, rewrites
-    or overwrites existing files, so concurrent runs writing into the same
-    cache directory cannot clobber each other (Spark part-file names are
-    unique per write). Duplicate keys from racing runs are resolved at READ
-    time by ``load()``'s dropDuplicates; describe is deterministic, so any
-    surviving row for a key carries the identical description — any-wins is
-    exact, not approximate. ``compact()`` is the one rewrite operation and is
-    single-writer by contract (run it from a maintenance job, not a crawl).
+    Concurrency contract (the 100 TB re-run shape): ``merge_and_save`` writes
+    the run's miss-delta into a UNIQUE ``delta-<run_id>/`` subdirectory — not
+    ``mode('append')`` on the shared root, because Spark's FileOutputCommitter
+    stages every append through one shared ``<path>/_temporary/`` dir, and two
+    concurrent appends race on that staging dir (the first committer's cleanup
+    can delete the other's in-flight task files). A per-run subdir gives each
+    writer its own committer staging area, so concurrent runs writing into the
+    same cache directory cannot clobber each other. Duplicate keys from racing
+    runs are resolved at READ time by ``load()``'s dropDuplicates; describe is
+    deterministic, so any surviving row for a key carries the identical
+    description — any-wins is exact, not approximate. ``compact()`` is the one
+    delete operation and is single-writer by contract (run it from a
+    maintenance job, not a crawl): it folds all deltas into one new delta and
+    removes the old ones.
     """
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
 
+    def _delta_dirs(self) -> list[str]:
+        """Committed deltas only: a ``delta-*`` dir counts once its writer's
+        _SUCCESS marker exists, so a concurrent half-written delta is invisible
+        to readers (per-delta atomicity)."""
+        return sorted(
+            d
+            for d in glob.glob(os.path.join(self.path, "delta-*"))
+            if os.path.exists(os.path.join(d, "_SUCCESS"))
+        )
+
     def load(self) -> DataFrame:
-        if os.path.exists(os.path.join(self.path, "_SUCCESS")):
-            return self.spark.read.parquet(self.path).dropDuplicates(["cache_key"])
-        return self.spark.createDataFrame([], CACHE_SCHEMA)
+        deltas = self._delta_dirs()
+        if not deltas:
+            return self.spark.createDataFrame([], CACHE_SCHEMA)
+        return self.spark.read.parquet(*deltas).dropDuplicates(["cache_key"])
 
     def merge_and_save(self, new_rows: DataFrame) -> int:
-        """Append the miss-delta to the table (new part files only; see the
+        """Write the miss-delta as a new ``delta-<run_id>/`` dir (see the
         class concurrency contract). Returns the number of NEW keys written."""
         new_rows = new_rows.localCheckpoint(eager=True)  # sever lineage to cache files
         n_new = new_rows.count()
         if n_new == 0:
             return 0
-        new_rows.write.mode("append").parquet(self.path)
+        delta_path = os.path.join(self.path, f"delta-{uuid.uuid4().hex}")
+        new_rows.write.mode("error").parquet(delta_path)
         return n_new
 
     def compact(self) -> int:
-        """Rewrite the table with one row per key (maintenance; SINGLE-writer
-        by contract — concurrent appends during a compaction can be lost).
-        Returns the compacted row count."""
-        merged = self.load().localCheckpoint(eager=True)  # read fully before overwrite
+        """Fold all deltas into one (maintenance; SINGLE-writer by contract —
+        a delta appended while compaction runs may be deleted with the old
+        set). Returns the compacted row count."""
+        old_deltas = self._delta_dirs()
+        merged = self.load().localCheckpoint(eager=True)  # read fully before delete
         n = merged.count()
-        merged.write.mode("overwrite").parquet(self.path)
+        if old_deltas:
+            compacted = os.path.join(self.path, f"delta-{uuid.uuid4().hex}")
+            merged.write.mode("error").parquet(compacted)
+            for d in old_deltas:
+                shutil.rmtree(d, ignore_errors=True)
         return n
