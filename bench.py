@@ -39,6 +39,7 @@ HEADLINE = [
     "bpe_token_hist",
     "ann_topk",
     "categorize",
+    "media_features",
 ]
 
 

@@ -5,7 +5,10 @@ twins and compares the sorted, column-name-ordered, STRINGIFIED value multiset
 Usage: python scripts/check_oracles.py [sf_dir] [query ...]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 

@@ -199,3 +199,36 @@ def test_ivf_index_one_assignment_pass_multi_query(spark, monkeypatch):
     assert got == want
     index.unpersist()
     emb.unpersist()
+
+
+def test_ivf_index_save_load_roundtrip(spark, tmp_path, monkeypatch):
+    """A saved index reopens WITHOUT a full-corpus assignment pass (load reads
+    the parquet assignment back — zero ivf_assign calls) and serves identical
+    topk results and centroids as the in-memory index it was saved from."""
+    from pyspark.sql import functions as F
+
+    from web2llmstxt_spark.operators import similarity
+    from web2llmstxt_spark.plans.queries import load
+
+    emb = load(spark, SF_DIR, "embeddings").limit(300).cache()
+    qvec = list(emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"])
+    index = similarity.IvfIndex.build(emb, nlist=8)
+    want = [(r.vec_id, round(r.sim, 10)) for r in index.topk(qvec, k=5, nprobe=3).collect()]
+    index.save(str(tmp_path / "ivf"))
+
+    calls = {"n": 0}
+    real_assign = similarity.ivf_assign
+
+    def counting_assign(*a, **kw):
+        calls["n"] += 1
+        return real_assign(*a, **kw)
+
+    monkeypatch.setattr(similarity, "ivf_assign", counting_assign)
+    reopened = similarity.IvfIndex.load(spark, str(tmp_path / "ivf"), emb)
+    got = [(r.vec_id, round(r.sim, 10)) for r in reopened.topk(qvec, k=5, nprobe=3).collect()]
+    assert calls["n"] == 0  # no assignment job on the load path
+    assert got == want
+    assert reopened.centroids == [(c, [float(x) for x in v]) for c, v in index.centroids]
+    index.unpersist()
+    reopened.unpersist()
+    emb.unpersist()

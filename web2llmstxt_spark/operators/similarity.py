@@ -16,8 +16,9 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def _dot(a, b):
@@ -301,6 +302,37 @@ class IvfIndex:
 
     def unpersist(self):
         self.assigned.unpersist()
+
+    def save(self, path: str) -> None:
+        """Persist the index for cross-job reuse: the assignment table as
+        parquet (the scale-bearing half — one row per vector, repartitioned
+        by cid so a query's nprobe lists map to whole files) and the
+        centroids as a tiny parquet alongside. The VECTORS are not copied —
+        an index references the corpus table, it doesn't own it."""
+        self.assigned.repartition("cid").write.mode("overwrite").parquet(
+            os.path.join(path, "assigned")
+        )
+        spark = self.assigned.sparkSession
+        spark.createDataFrame(
+            [(cid, [float(x) for x in vec]) for cid, vec in self.centroids],
+            "cid int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, df: DataFrame,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> "IvfIndex":
+        """Reopen a saved index against the SAME corpus ``df`` it was built
+        from (the index stores ids, not vectors — a changed corpus gives
+        silently stale lists; version the path alongside the corpus
+        snapshot). No full-corpus pass happens here: the assignment is read
+        back as parquet and only materialized lazily by queries."""
+        assigned = spark.read.parquet(os.path.join(path, "assigned")).persist()
+        centroids = [
+            (r["cid"], list(r["centroid"]))
+            for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+        ]
+        centroids.sort(key=lambda c: c[0])
+        return cls(df, centroids, assigned, vec_col, id_col)
 
 
 def ivf_topk(
