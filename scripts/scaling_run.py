@@ -66,10 +66,24 @@ def main() -> None:
             "spark.rdd.compress": "true",
         },
     )
+    from pyspark import StorageLevel
+
+    # storage level for the two big caches (site corpus, kept pages):
+    # serialized-in-memory (MEMORY_AND_DISK_SER equivalent) keeps the cached
+    # blocks as compact byte buffers instead of object graphs — the
+    # deserialized form of 10^6 content rows is what drove the GC-bound
+    # cache-build tail and the distill-wall variance at 32 threads
+    # (BENCH_SCALING.md round-4 decomposition). Override with
+    # SPARK_GRAFT_CACHE_DESER=1 to A/B the old behavior.
+    lvl = (
+        StorageLevel.MEMORY_AND_DISK  # deserialized object graphs (old behavior)
+        if os.environ.get("SPARK_GRAFT_CACHE_DESER")
+        else StorageLevel(True, True, False, False, 1)  # serialized mem+disk
+    )
     site = spark.read.parquet(os.path.join(corpus_dir, "site_pages.parquet"))
     # hash-partition by url: the fetch join then reuses this partitioning and
     # only the (small) per-superstep attempt set shuffles
-    site = site.repartition(parts, "url").cache()
+    site = site.repartition(parts, "url").persist(lvl)
     n_site = site.count()
 
     # warmup: compile codegen paths + spawn python workers once
@@ -88,7 +102,7 @@ def main() -> None:
 
     t0 = time.time()
     pages, seen = crawler.crawl(seeds)
-    pages = pages.persist()
+    pages = pages.persist(lvl)
     n_pages = pages.count()
     crawl_wall = time.time() - t0
 
