@@ -40,6 +40,9 @@ HEADLINE = [
     "ann_topk",
     "categorize",
     "media_features",
+    "span_roundtrip",
+    "robots_filter",
+    "politeness_cap",
 ]
 
 

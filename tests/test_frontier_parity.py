@@ -7,6 +7,7 @@ exact rank order.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from web2llmstxt_spark import schemas
 from web2llmstxt_spark.oracle.crawl_oracle import CrawlConfig, crawl
@@ -165,3 +166,51 @@ def test_superstep_metrics_match_oracle_depth_counts(spark, tmp_path):
     for m in engine.metrics:
         p = _os.path.join(str(tmp_path), f"superstep={m['superstep']}", "metrics.json")
         assert _json.load(open(p)) == m
+
+
+def test_native_robots_matches_oracle(spark):
+    """S6 native twin: the compiled WHEN-chain robots matcher must agree
+    with oracle.robots_disallowed on every URL of a two-host corpus PLUS
+    hand-built edge cases (empty path, query-only, duplicate-prefix
+    allow/disallow tie, nested allow-under-disallow)."""
+    from web2llmstxt_spark.functions import native
+    from web2llmstxt_spark.oracle.crawl_oracle import robots_disallowed
+
+    corpus = generate_corpus(seed=31, n_hosts=2, pages_per_host=25)
+    rules_by_host = {}
+    for host, _agent, rule, prefix in corpus.robots_rules:
+        rules_by_host.setdefault(host, []).append((rule, prefix))
+    # nested + tie cases on a synthetic host
+    rules_by_host["edge.example"] = [
+        ("disallow", "/private/"),
+        ("allow", "/private/docs/"),
+        ("allow", "/dup"),
+        ("disallow", "/dup"),  # duplicate prefix: allow must win the tie
+    ]
+    urls = [u for u in corpus.pages] + [
+        "https://edge.example",            # empty path -> '/'
+        "https://edge.example/",
+        "https://edge.example?page=2",     # query-only
+        "https://edge.example/private/x",
+        "https://edge.example/private/docs/x",
+        "https://edge.example/dup/inside",
+        "https://EDGE.example/private/y",  # host case-insensitivity
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r.url: r.d
+        for r in df.select(
+            "url", native.robots_disallowed_native(F.col("url"), rules_by_host).alias("d")
+        ).collect()
+    }
+    for u in urls:
+        assert got[u] == robots_disallowed(u, rules_by_host), u
+    # and the DuckDB SQL twin agrees row-for-row
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE urls(url VARCHAR)")
+    con.executemany("INSERT INTO urls VALUES (?)", [(u,) for u in urls])
+    sql = native.robots_disallowed_sql("url", rules_by_host)
+    for u, d in con.execute(f"SELECT url, {sql} FROM urls").fetchall():
+        assert d == robots_disallowed(u, rules_by_host), u

@@ -53,7 +53,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    from .session import get_spark
+    from .session import CACHE_LEVEL, get_spark
 
     spark = get_spark("cli", cores=args.cores)
     try:
@@ -75,7 +75,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_hosts=args.n_hosts,
                 pages_per_host=args.pages_per_host,
             )
-            site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
+            site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).persist(CACHE_LEVEL)
             if args.strategy == "sitemap":
                 sitemap_blobs = spark.createDataFrame(
                     render_sitemap_blobs(corpus), "sitemap_url string, body binary"

@@ -122,6 +122,47 @@ def keyword_score_native(url: Column, keywords, weight: float = 1.0) -> Column:
     return keyword_hits_native(url, keywords).cast("double") / F.lit(float(len(keywords))) * F.lit(weight)
 
 
+#: above this total rule count the compiled WHEN chain stops being a win
+#: (codegen time + expression-tree depth); frontier falls back to the
+#: pandas-UDF matcher. Real robots files are tens of rules per host.
+NATIVE_ROBOTS_MAX_RULES = 512
+
+
+def _ordered_robots_rules(rules_by_host: dict) -> list[tuple[str, str, str]]:
+    """Flatten rules_by_host into the evaluation order under which
+    FIRST-match == longest-prefix-match with allow-on-tie: per host, sort by
+    (prefix length desc, allow before disallow). Two same-length prefixes
+    that both match a path are the same string, so the only real tie is a
+    duplicate prefix with conflicting rules — allow sorts first and wins,
+    matching oracle.robots_disallowed."""
+    out = []
+    for host, rules in rules_by_host.items():
+        for rule, prefix in sorted(rules, key=lambda rp: (-len(rp[1]), rp[0] != "allow")):
+            out.append((host.lower(), rule, prefix))
+    return out
+
+
+def robots_disallowed_native(url: Column, rules_by_host: dict) -> Column:
+    """JVM Column twin of oracle.crawl_oracle.robots_disallowed (S6).
+
+    Compiles the bounded per-host ruleset into ONE flat WHEN chain over
+    (host equality AND path startswith prefix) — rows of other hosts fall
+    through a host's rules, and within a host the first match in
+    _ordered_robots_rules order decides. No Python boundary: at a 10^10-URL
+    frontier, robots evaluation is per-candidate hot-path work, same as C1
+    scoring. Host via parse_url HOST (ports/userinfo never appear in crawl
+    URLs — normalize_url output); empty path coalesces to '/' like the
+    oracle's ``parsed.path or '/'``."""
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    p = F.parse_url(url, F.lit("PATH"))
+    path = F.when(p.isNull() | (p == ""), F.lit("/")).otherwise(p)
+    decision = F.lit(False)
+    for h, rule, prefix in reversed(_ordered_robots_rules(rules_by_host)):
+        cond = (host == F.lit(h)) & path.startswith(F.lit(prefix))
+        decision = F.when(cond, F.lit(rule == "disallow")).otherwise(decision)
+    return decision
+
+
 # ------------------------------------------------------------------ SQL twins
 # DuckDB translations for the driver's oracle (ANSI-ish SQL). The scorer SQL
 # replicates C1 branch-for-branch so the oracle check covers the real
@@ -131,14 +172,18 @@ def _sql_contains_any(expr: str, needles) -> str:
     return "(" + " OR ".join(f"contains({expr}, '{k}')" for k in needles) + ")"
 
 
-def score_url_sql(url_expr: str, base_url_literal: str) -> str:
-    """DuckDB SQL expression computing kernels.score_url_importance(url, base)."""
+def score_url_sql(url_expr: str, base_sql: str) -> str:
+    """DuckDB SQL expression computing kernels.score_url_importance(url, base).
+
+    ``base_sql`` is a raw SQL expression (quote literals yourself:
+    ``"'https://ex.example'"``) so per-row bases like ``'https://' || host``
+    work too."""
     ul = f"lower({url_expr})"
     asset = "(" + " OR ".join(f"{ul} LIKE '%{e}'" for e in kernels.ASSET_EXTENSIONS) + ")"
     high = _sql_contains_any(ul, kernels.HIGH_VALUE_KEYWORDS)
     med = _sql_contains_any(ul, kernels.MEDIUM_VALUE_KEYWORDS)
     low = _sql_contains_any(ul, kernels.LOW_VALUE_KEYWORDS)
-    segs = f"string_split(trim(replace({url_expr}, '{base_url_literal}', ''), '/'), '/')"
+    segs = f"string_split(trim(replace({url_expr}, {base_sql}, ''), '/'), '/')"
     n = f"len({segs})"
     second_empty = f"({n} = 2 AND {segs}[2] = '')"
     alpha = f"(len(list_filter({segs}, s -> len(s) > 3 AND regexp_full_match(s, '[A-Za-z]+'))) > 0)"
@@ -190,3 +235,20 @@ def categorize_sql(url_expr: str, title_expr: str, content_expr: str) -> str:
         f"WHEN {other} THEN 'Other Pages' "
         "ELSE 'General Information' END)"
     )
+
+
+def robots_disallowed_sql(url_expr: str, rules_by_host: dict) -> str:
+    """DuckDB twin of robots_disallowed_native: same flat first-match CASE
+    over the same _ordered_robots_rules order; host/path via regexp (DuckDB
+    has no parse_url), path falling back to '/'."""
+    host = f"lower(regexp_extract({url_expr}, '^[a-zA-Z]+://([^/?#]+)', 1))"
+    path = (
+        f"coalesce(nullif(regexp_extract({url_expr}, "
+        f"'^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), ''), '/')"
+    )
+    whens = "".join(
+        f"WHEN {host} = '{h}' AND starts_with({path}, '{prefix}') "
+        f"THEN {'TRUE' if rule == 'disallow' else 'FALSE'} "
+        for h, rule, prefix in _ordered_robots_rules(rules_by_host)
+    )
+    return f"(CASE {whens}ELSE FALSE END)"

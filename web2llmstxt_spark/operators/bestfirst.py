@@ -35,6 +35,7 @@ from pyspark.sql.types import DoubleType
 from ..functions import kernels, native, udfs
 from ..oracle.bestfirst_oracle import depth_for_max_pages
 from . import ranking
+from ..session import CACHE_LEVEL
 from .frontier import BROADCAST_RANK_MAX, TableFetcher
 
 #: above this batch size the top-B pop uses the distributed two-pass rank
@@ -123,7 +124,7 @@ class BestFirstCrawler:
         parts = parts.observe(
             obs, F.sum(F.when(F.col("kind") == "frontier", 1).otherwise(0)).alias("n")
         )
-        state = parts.localCheckpoint(eager=True)
+        state = parts.localCheckpoint(eager=True, storageLevel=CACHE_LEVEL)
         n = obs.get.get("n")
         return (
             state.filter(F.col("kind") == "frontier").select("url", "depth", "score"),
@@ -138,7 +139,7 @@ class BestFirstCrawler:
         else:
             ranked = ranking.global_rank(frontier, order, "__r")
             batch = ranked.filter(F.col("__r") <= b).drop("__r")
-        return batch.localCheckpoint(eager=True)
+        return batch.localCheckpoint(eager=True, storageLevel=CACHE_LEVEL)
 
     def crawl(self) -> tuple[DataFrame, DataFrame]:
         """Returns (rank-annotated pages_df — UNSORTED, sort on "rank" at the
@@ -164,7 +165,7 @@ class BestFirstCrawler:
             popped = min(b, frontier_count)
             attempted += popped
 
-            fetched = self.fetcher.fetch(batch).localCheckpoint(eager=True)
+            fetched = self.fetcher.fetch(batch).localCheckpoint(eager=True, storageLevel=CACHE_LEVEL)
             ok = fetched.filter(F.col("success"))
             pages = (
                 ok.filter(F.col("wc") > 50)  # STRICT gate (v1 :321)

@@ -50,6 +50,7 @@ from pyspark.sql.types import BooleanType, StringType
 
 from ..functions import kernels, udfs
 from ..oracle.crawl_oracle import CrawlConfig
+from ..session import CACHE_LEVEL
 from . import bloom, ranking
 
 #: below this kept-page count the finalize (url, rank) table is broadcast
@@ -215,7 +216,7 @@ class FrontierCrawler:
                          9s -> 14s -> 46s -> 98s lazily vs flat ~3s eager).
         """
         if self.run_dir is None:
-            return df.localCheckpoint(eager=True)
+            return df.localCheckpoint(eager=True, storageLevel=CACHE_LEVEL)
         path = os.path.join(self.run_dir, f"superstep={superstep}", name)
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
@@ -292,7 +293,7 @@ class FrontierCrawler:
             F.sum(F.when(F.col("kind") == "frontier", 1).otherwise(0)).alias("frontier_n"),
             F.max(F.when(F.col("kind") == "bloom", F.col("n_keys"))).alias("bloom_max_keys"),
         )
-        state = parts.localCheckpoint(eager=True)
+        state = parts.localCheckpoint(eager=True, storageLevel=CACHE_LEVEL)
         m = obs.get
         seen = state.filter(F.col("kind") == "seen").select("url")
         frontier = state.filter(F.col("kind") == "frontier").select(
@@ -390,7 +391,7 @@ class FrontierCrawler:
                     None, bloom.delta_bitmaps(seen, self.num_buckets, self.bloom_m_bits)
                 ).localCheckpoint(eager=True)
         else:
-            pages = main.select(*pages_cols).persist()
+            pages = main.select(*pages_cols).persist(CACHE_LEVEL)
             pages_count = pages.count()
             bloom0 = None
             if self.use_bloom:
@@ -430,7 +431,16 @@ class FrontierCrawler:
                 )
             cand = cand.filter(F.col("score") > F.lit(cfg.score_threshold))  # :218
             if cfg.enforce_robots and self.rules_by_host:
-                cand = cand.filter(~_robots_match_udf(self.rules_by_host)(F.col("url")))
+                from ..functions import native
+
+                n_rules = sum(len(r) for r in self.rules_by_host.values())
+                if self.use_native_scorer and n_rules <= native.NATIVE_ROBOTS_MAX_RULES:
+                    # hot path: compiled WHEN chain, no Python boundary
+                    cand = cand.filter(
+                        ~native.robots_disallowed_native(F.col("url"), self.rules_by_host)
+                    )
+                else:
+                    cand = cand.filter(~_robots_match_udf(self.rules_by_host)(F.col("url")))
             if cfg.host_caps:
                 caps_df = spark.createDataFrame(
                     list(cfg.host_caps.items()), "host string, cap int"
@@ -455,7 +465,7 @@ class FrontierCrawler:
                 # crosses the rank's range shuffle or checkpoint; the join
                 # reuses the fetch join's url partitioning, so only the
                 # (url, __cum_before) table shuffles.
-                fetched_cache = self.fetcher.fetch(cand).persist()
+                fetched_cache = self.fetcher.fetch(cand).persist(CACHE_LEVEL)
                 appended = F.col("success") & (F.col("wc") >= 50)
                 slim = fetched_cache.select("url", "score", "success", "wc")
                 ranked = self._with_global_rank(
@@ -483,7 +493,7 @@ class FrontierCrawler:
                     else:
                         todo = cand
                 attempted = self.fetcher.fetch(todo)
-            attempted = attempted.persist()
+            attempted = attempted.persist(CACHE_LEVEL)
             # the ONE action of this superstep: materializes the whole chain
             # (anti-join/bloom, scoring, sort, budget cut, fetch) into the
             # cache and returns both loop-control counters at once
@@ -552,7 +562,7 @@ class FrontierCrawler:
                 seen, frontier, self._bloom, frontier_count = self._checkpoint_state(
                     seen_next, frontier_next, bloom_next, depth
                 )
-                new_pages = new_pages.persist()
+                new_pages = new_pages.persist(CACHE_LEVEL)
             else:
                 # exiting: seen stays lazy on (checkpointed seen ∪ cached
                 # attempted) — shallow lineage, no full-state job. self._bloom
@@ -562,7 +572,7 @@ class FrontierCrawler:
                 # the stale handle instead of silently reading old state
                 seen = seen_next
                 self._bloom = None
-                new_pages = new_pages.persist()
+                new_pages = new_pages.persist(CACHE_LEVEL)
             all_pages.append(new_pages)
             # NB: attempted stays persisted — lazy pages reference it
             self.metrics.append(

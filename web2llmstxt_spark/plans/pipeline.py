@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions import kernels
 from ..oracle.crawl_oracle import CrawlConfig
 from ..operators.frontier import FrontierCrawler
+from ..session import CACHE_LEVEL
 from ..sinks import writers
 from . import distill
 
@@ -102,7 +103,7 @@ def generate_llmstxt(
             spark, site_pages, cfg, robots_rules=robots_rules, run_dir=run_dir, use_bloom=True
         )
         pages_df, _seen = crawler.crawl(seeds or [(0, base_url)])
-    pages_df = pages_df.persist()
+    pages_df = pages_df.persist(CACHE_LEVEL)
     n_pages = pages_df.count()
 
     desc_cache_new = None

@@ -87,7 +87,7 @@ def q_frontier_topk(spark, sf_dir):
 
 
 def sql_frontier_topk():
-    score = native.score_url_sql("url", BASE_URL)
+    score = native.score_url_sql("url", f"'{BASE_URL}'")
     return f"""
         WITH u AS (SELECT {SYNTH_URL_SQL} AS url FROM documents),
         s AS (SELECT url, {score} AS score FROM u)
@@ -808,7 +808,7 @@ def q_pipeline_e2e(spark, sf_dir):
 
 
 def sql_pipeline_e2e():
-    score = native.score_url_sql("url", BASE_URL)
+    score = native.score_url_sql("url", f"'{BASE_URL}'")
     cat = native.categorize_sql("url", "title", "text")
     return f"""
         WITH u AS (
@@ -879,6 +879,175 @@ def sql_media_features():
     """
 
 
+def q_span_roundtrip(spark, sf_dir):
+    """Interleaved-span round trip on the BASELINE.json input_hint shape.
+
+    Builds a deterministic interleaved text+media span table
+    (doc_id, spans:array<struct<kind,text,media_ref,offset>>) from
+    ``documents`` — 7-token chunks, every offset ≡ 2 (mod 5) a pure image
+    span with a derived media_ref — stored in REVERSE offset order, then
+    runs the ENGINE's reconstruction (udfs.spans_to_content, the exact
+    native expression TableFetcher uses in the crawl fetch path) and the P5
+    quality word count over it. The reversed storage order means the hash
+    match fails unless spans_sorted() actually re-establishes document
+    order, so this row is cross-engine evidence of the per-row
+    span-sequence invariant (kind, text, media_ref, order) — the north
+    rule's row-level contract — not just plumbing."""
+    from ..functions import udfs
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    d = docs.withColumn("toks", toks).withColumn(
+        "n_chunks", F.ceil(F.size("toks") / F.lit(7.0)).cast("int")
+    )
+
+    def mk_span(i):
+        is_img = (i % F.lit(5)) == F.lit(2)
+        chunk = F.array_join(F.slice(F.col("toks"), i * 7 + 1, F.lit(7)), " ")
+        return F.struct(
+            F.when(is_img, F.lit("image")).otherwise(F.lit("text")).alias("kind"),
+            F.when(is_img, F.lit("")).otherwise(chunk).alias("text"),
+            F.when(
+                is_img,
+                F.concat(F.lit("img://"), F.col("doc_id"), F.lit("/"), i.cast("string")),
+            ).otherwise(F.lit("")).alias("media_ref"),
+            i.cast("int").alias("offset"),
+        )
+
+    empty = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    spans = F.when(
+        F.col("n_chunks") > 0,
+        F.transform(F.sequence(F.col("n_chunks") - 1, F.lit(0), F.lit(-1)), mk_span),
+    ).otherwise(F.expr("array()").cast(empty))
+    docs_spans = d.withColumn("spans", spans).select("doc_id", "spans")
+    content = udfs.spans_to_content(F.col("spans"))
+    return docs_spans.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("image"))).alias("n_media"),
+        F.md5(content).alias("content_md5"),
+        udfs.native_word_count(content).alias("wc"),
+    )
+
+
+def sql_span_roundtrip():
+    return r"""
+        WITH d AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents),
+        c AS (
+            SELECT doc_id, toks,
+                   CAST(ceil(len(toks) / 7.0) AS INT) AS n_chunks
+            FROM d),
+        s AS (
+            SELECT doc_id, i,
+                   CASE WHEN i % 5 = 2 THEN 'image' ELSE 'text' END AS kind,
+                   CASE WHEN i % 5 = 2 THEN ''
+                        ELSE array_to_string(toks[i*7+1 : i*7+7], ' ') END AS chunk,
+                   CASE WHEN i % 5 = 2 THEN 0
+                        ELSE len(toks[i*7+1 : i*7+7]) END AS chunk_wc
+            FROM c, UNNEST(range(0, n_chunks)) AS u(i))
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_spans,
+               CAST(count(*) FILTER (WHERE kind = 'image') AS INT) AS n_media,
+               md5(string_agg(chunk, chr(10) || chr(10) ORDER BY i)
+                   FILTER (WHERE kind <> 'image' AND chunk <> '')) AS content_md5,
+               CAST(sum(chunk_wc) AS INT) AS wc
+        FROM s GROUP BY doc_id
+    """
+
+
+#: deterministic robots ruleset for the driver row — overlapping prefixes so
+#: longest-match and allow-under-disallow both bite on the synth URL corpus
+ROBOTS_RULES_FIXED = {
+    "ex.example": [
+        ("disallow", "/login"),
+        ("disallow", "/download"),
+        ("allow", "/download/w"),
+        ("allow", "/misc"),
+        ("disallow", "/"),  # shortest: default-deny everything else...
+        ("allow", "/docs"),  # ...except docs and blog
+        ("allow", "/blog"),
+    ],
+}
+
+
+def q_robots_filter(spark, sf_dir):
+    """S6 on the driver surface: the ENGINE's compiled robots matcher
+    (native.robots_disallowed_native — the frontier hot-path filter since r4)
+    evaluated over the synth URL corpus against a fixed overlapping ruleset;
+    returns every URL with its decision so the value hash covers allowed AND
+    disallowed outcomes, plus the post-filter candidate count semantics via
+    the kept flag. Ref: north-rule robots extension; oracle twin is the same
+    first-match CASE compiled for DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    u = docs.select(synth_url_col().alias("url"))
+    return u.select(
+        "url",
+        native.robots_disallowed_native(F.col("url"), ROBOTS_RULES_FIXED).alias("disallowed"),
+    )
+
+
+def sql_robots_filter():
+    d = native.robots_disallowed_sql("url", ROBOTS_RULES_FIXED)
+    return f"""
+        WITH u AS (SELECT {SYNTH_URL_SQL} AS url FROM documents)
+        SELECT url, {d} AS disallowed FROM u
+    """
+
+
+def q_politeness_cap(spark, sf_dir):
+    """T3 on the driver surface: per-host politeness budget — the exact
+    window the frontier applies (row_number per host over (score desc, url
+    asc), keep rank <= cap, hosts without a cap pass). Multi-host synth URLs
+    (5 hosts) with per-host caps 15/25/35; native C1 scoring. Ref:
+    frontier.py host_caps window; llms politeness per north rule."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    host = F.concat(F.lit("ex"), (F.col("doc_id") % 5).cast("string"), F.lit(".example"))
+    path = F.regexp_replace(synth_url_col(), "^https://ex\\.example", "")
+    u = docs.select(
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        host.alias("host"),
+    ).withColumn("score", native.score_url_native(F.col("url"), F.concat(F.lit("https://"), F.col("host"))))
+    caps = spark.createDataFrame(
+        [("ex0.example", 15), ("ex1.example", 25), ("ex2.example", 35)],
+        "host string, cap int",
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("url"))
+    return (
+        u.join(F.broadcast(caps), "host", "left")
+        .withColumn("hrank", F.row_number().over(w))
+        .filter(F.col("cap").isNull() | (F.col("hrank") <= F.col("cap")))
+        .select("host", "url", F.round("score", 4).alias("score"), "hrank")
+    )
+
+
+def sql_politeness_cap():
+    score = native.score_url_sql("url", "'https://' || host")
+    return f"""
+        WITH d AS (
+            SELECT 'ex' || (doc_id % 5) || '.example' AS host,
+                   regexp_replace({SYNTH_URL_SQL}, '^https://ex\\.example', '') AS path
+            FROM documents),
+        u AS (SELECT host, 'https://' || host || path AS url FROM d),
+        s AS (SELECT host, url, {score} AS score FROM u),
+        caps(host, cap) AS (VALUES ('ex0.example', 15), ('ex1.example', 25),
+                                   ('ex2.example', 35)),
+        r AS (
+            SELECT s.host, s.url, s.score, caps.cap,
+                   row_number() OVER (PARTITION BY s.host
+                                      ORDER BY s.score DESC, s.url ASC) AS hrank
+            FROM s LEFT JOIN caps ON s.host = caps.host)
+        SELECT host, url, round(score, 4) AS score, CAST(hrank AS INT) AS hrank
+        FROM r WHERE cap IS NULL OR hrank <= cap
+    """
+
+
 REGISTRY: dict[str, tuple] = {
     # name: (spark_builder, oracle_sql_builder or None)
     "frontier_topk": (q_frontier_topk, sql_frontier_topk),
@@ -909,4 +1078,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_lsh": (q_ann_lsh, sql_ann_lsh),
     "pipeline_e2e": (q_pipeline_e2e, sql_pipeline_e2e),
     "media_features": (q_media_features, sql_media_features),
+    "span_roundtrip": (q_span_roundtrip, sql_span_roundtrip),
+    "robots_filter": (q_robots_filter, sql_robots_filter),
+    "politeness_cap": (q_politeness_cap, sql_politeness_cap),
 }
