@@ -214,3 +214,39 @@ def test_native_robots_matches_oracle(spark):
     sql = native.robots_disallowed_sql("url", rules_by_host)
     for u, d in con.execute(f"SELECT url, {sql} FROM urls").fetchall():
         assert d == robots_disallowed(u, rules_by_host), u
+
+
+def test_native_host_bucket_matches_kernel(spark):
+    """The JVM md5 bucket id (the Bloom prefilter's partition key since r4)
+    must equal kernels.host_bucket for every corpus host plus empty/None."""
+    from web2llmstxt_spark.functions import kernels, native
+
+    corpus = generate_corpus(seed=37, n_hosts=3, pages_per_host=10)
+    hosts = sorted({u.split("/")[2] for u in corpus.pages}) + ["", None]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r.host: r.b
+        for r in df.select(
+            "host", native.host_bucket_native(F.col("host"), 32).alias("b")
+        ).collect()
+    }
+    for h in hosts:
+        assert got[h] == kernels.host_bucket(h or "", 32), h
+
+
+def test_salted_crawl_parity(spark):
+    """North-rule skew salting live in the crawl: salting the seed host
+    across 8 buckets changes ONLY partition co-location — pages, order and
+    seen must stay byte-identical to the oracle (and the Bloom path is the
+    one exercised: use_bloom=True)."""
+    corpus = generate_corpus(seed=41, n_hosts=2, pages_per_host=25)
+    seeds = [(sid, url) for sid, url, _ in corpus.seeds]
+    salt = {s[1].split("/")[2]: 8 for s in seeds}
+    cfg = CrawlConfig(max_pages=12)
+    oracle_res = crawl(corpus, cfg, seeds)
+    site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES)
+    engine = FrontierCrawler(spark, site, cfg, use_bloom=True, salt_hosts=salt)
+    pages_df, seen_df = engine.crawl(seeds)
+    engine_pages = [r.asDict() for r in pages_df.orderBy("rank").collect()]
+    engine_seen = {r.url for r in seen_df.collect()}
+    assert_parity(oracle_res, engine_pages, engine_seen)

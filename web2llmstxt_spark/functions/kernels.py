@@ -777,5 +777,9 @@ def stable_hash64(value: str) -> int:
 
 
 def host_bucket(host: str, num_buckets: int) -> int:
-    """Frontier partition id for a host (north-rule host-hash partitioning)."""
-    return stable_hash64(host) % num_buckets
+    """Frontier partition id for a host (north-rule host-hash partitioning).
+
+    md5-prefix based so the JVM twin (native.host_bucket_native — the hot
+    path since r4) computes the identical id with Spark's built-in md5;
+    this Python form is the oracle twin and the resume/rebuild reference."""
+    return int(hashlib.md5(host.encode("utf-8")).hexdigest()[:15], 16) % num_buckets

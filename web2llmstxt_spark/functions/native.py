@@ -122,6 +122,19 @@ def keyword_score_native(url: Column, keywords, weight: float = 1.0) -> Column:
     return keyword_hits_native(url, keywords).cast("double") / F.lit(float(len(keywords))) * F.lit(weight)
 
 
+def host_bucket_native(value: Column, num_buckets) -> Column:
+    """JVM twin of kernels.host_bucket: md5-based deterministic bucket id
+    (north-rule host-hash frontier partitioning). md5 rather than
+    xxhash64/murmur3 because Python's hashlib computes the identical digest,
+    keeping the pandas-UDF twin bit-exact. 15 hex chars = 60 bits, exact in
+    a long. Applied to every frontier candidate every superstep (the Bloom
+    prefilter's partition key), so it must not cross a Python boundary."""
+    h = F.md5(F.coalesce(value, F.lit("")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(num_buckets)
+    ).cast("int")
+
+
 #: above this total rule count the compiled WHEN chain stops being a win
 #: (codegen time + expression-tree depth); frontier falls back to the
 #: pandas-UDF matcher. Real robots files are tens of rules per host.

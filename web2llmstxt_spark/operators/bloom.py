@@ -69,22 +69,41 @@ def probe_bitmap(url: str, bitmap: bytes) -> bool:
     return all(bitmap[p >> 3] & (1 << (p & 7)) for p in _positions(url, m_bits))
 
 
-def _bucket_col(url_col, num_buckets: int):
-    from ..functions import udfs
+def _bucket_col(url_col, num_buckets: int, salt_hosts: dict | None = None):
+    """JVM-native bucket id for a URL (no Python boundary — this runs on
+    every candidate every superstep). ``salt_hosts`` maps skewed hosts ->
+    fan-out k: their URLs spread deterministically over k buckets
+    (bucket = (hash(host) + hash(url) % k) % num_buckets) so one mega-host
+    cannot pin a partition (north-rule skew salting). Safe for Bloom/seen
+    state: the same URL always lands in the same bucket, membership keys on
+    the full URL — only co-location granularity changes. Both the bitmap
+    builder and the prefilter derive buckets through this one function, so
+    delta and probe sides always agree."""
+    from ..functions import native
 
-    return udfs.host_bucket_udf(
-        F.lower(F.parse_url(url_col, F.lit("HOST"))), F.lit(num_buckets)
-    )
+    host = F.lower(F.parse_url(url_col, F.lit("HOST")))
+    base = native.host_bucket_native(host, num_buckets)
+    if salt_hosts:
+        salt = F.lit(0)
+        for h, k in salt_hosts.items():
+            salt = F.when(
+                host == F.lit(h.lower()), native.host_bucket_native(url_col, k)
+            ).otherwise(salt)
+        base = F.pmod(base + salt, F.lit(num_buckets)).cast("int")
+    return base
 
 
 # --------------------------------------------------------- incremental state
 
 def delta_bitmaps(urls: DataFrame, num_buckets: int,
-                  m_bits: int = DEFAULT_M_BITS) -> DataFrame:
+                  m_bits: int = DEFAULT_M_BITS,
+                  salt_hosts: dict | None = None) -> DataFrame:
     """(bucket, bitmap, n_keys) for ONE increment of URLs (this superstep's
     attempted set, or the full seen table on init/rebuild). Shuffles only the
     increment — never the accumulated state."""
-    b = urls.select("url").withColumn("bucket", _bucket_col(F.col("url"), num_buckets))
+    b = urls.select("url").withColumn(
+        "bucket", _bucket_col(F.col("url"), num_buckets, salt_hosts)
+    )
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -120,12 +139,13 @@ def merge_bitmaps(state: DataFrame | None, delta: DataFrame) -> DataFrame:
 
 
 def prefilter_with_state(cand: DataFrame, bloom_state: DataFrame,
-                         seen: DataFrame, num_buckets: int) -> DataFrame:
+                         seen: DataFrame, num_buckets: int,
+                         salt_hosts: dict | None = None) -> DataFrame:
     """Exact equivalent of ``cand.join(seen, 'url', 'left_anti')``: the
     accumulated bitmaps reject definitely-unseen candidates cheaply; only
     "maybe seen" survivors pay the exact anti-join against seen."""
     cand_cols = cand.columns
-    cand_b = cand.withColumn("bucket", _bucket_col(F.col("url"), num_buckets))
+    cand_b = cand.withColumn("bucket", _bucket_col(F.col("url"), num_buckets, salt_hosts))
     blooms = bloom_state.select("bucket", "bitmap")
 
     out_schema = cand_b.withColumn("maybe_seen", F.lit(True)).schema

@@ -142,6 +142,7 @@ class FrontierCrawler:
         use_native_scorer: bool = True,
         run_id: str = "run",
         fetcher=None,
+        salt_hosts: dict[str, int] | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -152,6 +153,11 @@ class FrontierCrawler:
         self.run_dir = run_dir
         self.num_buckets = num_buckets
         self.use_bloom = use_bloom
+        # north-rule skew salting: skewed host -> fan-out k; threaded through
+        # every Bloom bucket derivation (operators/bloom._bucket_col) so one
+        # mega-host's URLs spread over k partitions on both the bitmap and
+        # probe sides. Results are unchanged (test_salted_crawl_parity).
+        self.salt_hosts = salt_hosts
         # JVM Column-algebra scorer (functions/native.py): same results as the
         # pandas-UDF kernel (parity-tested), ~no Python boundary. DEFAULT ON —
         # scoring is the highest-volume per-URL computation at a 10^10-URL
@@ -183,23 +189,14 @@ class FrontierCrawler:
         """Host-hash partitioning (north rule): co-locates a host's URLs so
         seen-filter state and politeness decisions are partition-local.
 
-        ``salt_hosts`` maps skewed hosts -> salt fan-out k: their URLs spread
-        over k buckets (bucket = hash(host)+hash(url)%k) so one mega-host
-        can't pin a partition (SURVEY §4 skew note). Salting is safe for the
-        Bloom/seen state because membership checks key on the full URL; only
-        co-location granularity changes. AQE skew-join handles residual skew.
-        """
+        Delegates the bucket id to ``bloom._bucket_col`` — ONE salted,
+        JVM-native implementation shared with the live Bloom prefilter path
+        (see its docstring for the salting contract; AQE skew-join handles
+        residual skew)."""
         df = self._with_host(df, url_col)
-        base = udfs.host_bucket_udf(F.col("host"), F.lit(self.num_buckets))
-        if salt_hosts:
-            salt = F.lit(0)
-            for host, k in salt_hosts.items():
-                salt = F.when(
-                    F.col("host") == host,
-                    F.pmod(F.hash(F.col(url_col)), F.lit(k)),
-                ).otherwise(salt)
-            base = F.pmod(base + salt, F.lit(self.num_buckets))
-        df = df.withColumn("bucket", base.cast("int"))
+        df = df.withColumn(
+            "bucket", bloom._bucket_col(F.col(url_col), self.num_buckets, salt_hosts)
+        )
         return df.repartition(self.num_buckets, "bucket")
 
     def _snapshot(self, df: DataFrame, name: str, superstep: int) -> DataFrame:
@@ -242,10 +239,12 @@ class FrontierCrawler:
                 self.bloom_rebuilds += 1
             self._bloom_rebuild_pending = False
             return bloom.merge_bitmaps(
-                None, bloom.delta_bitmaps(seen_next, self.num_buckets, self.bloom_m_bits)
+                None, bloom.delta_bitmaps(seen_next, self.num_buckets, self.bloom_m_bits,
+                                    self.salt_hosts)
             )
         self.bloom_deltas += 1
-        delta = bloom.delta_bitmaps(attempted_urls, self.num_buckets, self.bloom_m_bits)
+        delta = bloom.delta_bitmaps(attempted_urls, self.num_buckets, self.bloom_m_bits,
+                                    self.salt_hosts)
         return bloom.merge_bitmaps(self._bloom, delta)
 
     def _checkpoint_state(self, seen_df: DataFrame, frontier_df: DataFrame,
@@ -377,7 +376,8 @@ class FrontierCrawler:
             start_depth = last + 1
             if self.use_bloom:  # resume: rebuild bitmaps from seen ONCE
                 self._bloom = bloom.merge_bitmaps(
-                    None, bloom.delta_bitmaps(seen, self.num_buckets, self.bloom_m_bits)
+                    None, bloom.delta_bitmaps(seen, self.num_buckets, self.bloom_m_bits,
+                                        self.salt_hosts)
                 ).localCheckpoint(eager=True)
         elif self.run_dir is not None:
             pages = self._snapshot(main.select(*pages_cols), "pages", 0)
@@ -388,7 +388,8 @@ class FrontierCrawler:
             all_pages = [pages]
             if self.use_bloom:
                 self._bloom = bloom.merge_bitmaps(
-                    None, bloom.delta_bitmaps(seen, self.num_buckets, self.bloom_m_bits)
+                    None, bloom.delta_bitmaps(seen, self.num_buckets, self.bloom_m_bits,
+                                        self.salt_hosts)
                 ).localCheckpoint(eager=True)
         else:
             pages = main.select(*pages_cols).persist(CACHE_LEVEL)
@@ -414,7 +415,7 @@ class FrontierCrawler:
                 # Bloom fast path + exact check on maybes == exact anti-join;
                 # bitmaps are accumulated state, NOT rebuilt from seen
                 cand = bloom.prefilter_with_state(
-                    frontier, self._bloom, seen, self.num_buckets
+                    frontier, self._bloom, seen, self.num_buckets, self.salt_hosts
                 )
             else:
                 cand = frontier.join(seen, "url", "left_anti")  # J1 exact
