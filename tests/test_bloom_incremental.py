@@ -38,16 +38,12 @@ def test_bloom_state_is_incremental(spark, tmp_path):
     assert supersteps >= 2, "need a multi-superstep crawl to prove incrementality"
     assert engine.bloom_deltas == supersteps
     assert engine.bloom_rebuilds == 0
-    # the accumulated state must cover all of seen (no false negatives)
-    import urllib.parse
-
-    from web2llmstxt_spark.functions.kernels import host_bucket
-
-    state = {r.bucket: r.bitmap for r in engine._bloom.collect()}
-    for url in seen:
-        host = urllib.parse.urlparse(url).netloc.lower()
-        b = host_bucket(host, engine.num_buckets)
-        assert bloom.probe_bitmap(url, state[b]), f"false negative for {url}"
+    # the accumulated state must cover all of seen (no false negatives):
+    # probing the seen set itself must flag every row maybe_seen
+    seen_df = spark.createDataFrame([(u,) for u in seen], "url string")
+    probed = bloom.probe_state(seen_df, engine._bloom, engine.num_buckets)
+    misses = [r.url for r in probed.filter(~F.col("maybe_seen")).collect()]
+    assert not misses, f"false negatives: {misses[:5]}"
 
 
 def test_bloom_skips_dead_final_delta(spark):

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
-from ..functions import kernels, native, udfs
+from ..functions import kernels, linkexpand, native, udfs
 from ..oracle.bestfirst_oracle import depth_for_max_pages
 from . import ranking
 from ..session import CACHE_LEVEL
@@ -185,17 +185,16 @@ class BestFirstCrawler:
             page_parts.append(pages)
 
             links = (
-                ok.filter(F.col("depth") < self.max_depth)
-                .select(
-                    F.explode(
-                        udfs.extract_links_udf(
-                            F.col("out_links"),
-                            F.lit(self.base_url),
-                            F.lit(self.base_domain),
-                        )
-                    ).alias("url"),
-                    (F.col("depth") + 1).alias("depth"),
+                linkexpand.expand_links(
+                    ok.filter(F.col("depth") < self.max_depth).withColumn(
+                        "__d", F.col("depth") + 1
+                    ),
+                    "out_links",
+                    F.lit(self.base_url),
+                    F.lit(self.base_domain),
+                    ["__d"],
                 )
+                .select("url", F.col("__d").alias("depth"))
                 .groupBy("url")
                 .agg(F.min("depth").alias("depth"))  # min parent depth (spec)
                 .join(seen, "url", "left_anti")

@@ -21,14 +21,22 @@ amortized O(log n) full scans over a whole crawl, like vector doubling.
 
 The reference holds one driver-side ``set`` (crawled_urls,
 llmsgen/crawler/web_crawler.py:189 (pyc)); this is its distributed,
-memory-bounded replacement. Sizing: BITS_PER_KEY=10 with K=4 blake2b-derived
+memory-bounded replacement. Sizing: BITS_PER_KEY=10 with K=4 double-hashed
 probes => ~1.2% false positives at capacity; per-bucket bitmaps for 10^10
 URLs across 4096 buckets stay partition-local, never broadcast or collected.
+
+Round-4 vectorization: the probe/build hashes are TWO JVM ``xxhash64``
+columns (computed inside whole-stage codegen — zero per-URL Python), and the
+Arrow-batched build/probe kernels are pure numpy over those int64 columns
+(``np.bitwise_or.at`` scatter for build, a vectorized gather for probe).
+Previously each URL paid a Python ``hashlib.blake2b`` call on BOTH the delta
+and the probe side — at an 8 M-URL frontier that was the largest remaining
+per-row Python in the superstep loop. Build and probe derive positions from
+the same columns through ``_probe_positions``, so the sides cannot drift.
 """
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 import numpy as np
@@ -46,27 +54,23 @@ DEFAULT_M_BITS = 1 << 17
 
 BLOOM_SCHEMA = "bucket int, bitmap binary, n_keys long"
 
-
-def _positions(url: str, m_bits: int) -> list[int]:
-    """K probe positions via double hashing of one blake2b digest."""
-    d = hashlib.blake2b(url.encode("utf-8"), digest_size=16).digest()
-    h1 = int.from_bytes(d[:8], "big")
-    h2 = int.from_bytes(d[8:], "big") | 1
-    return [(h1 + i * h2) % m_bits for i in range(NUM_PROBES)]
+#: seed of the second xxhash64 column (any constant != Spark's default 42)
+_H2_SEED = 0x9E3779B9
 
 
-def build_bitmap(urls, m_bits: int = DEFAULT_M_BITS) -> bytes:
-    bits = np.zeros(m_bits // 8, dtype=np.uint8)
-    for u in urls:
-        for p in _positions(u, m_bits):
-            bits[p >> 3] |= 1 << (p & 7)
-    return bits.tobytes()
+def _hash_cols(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Attach the two 64-bit probe hashes as JVM-native columns."""
+    return df.withColumn("__h1", F.xxhash64(F.col(url_col))).withColumn(
+        "__h2", F.xxhash64(F.col(url_col), F.lit(_H2_SEED))
+    )
 
 
-def probe_bitmap(url: str, bitmap: bytes) -> bool:
-    """True => maybe seen; False => definitely unseen."""
-    m_bits = len(bitmap) * 8
-    return all(bitmap[p >> 3] & (1 << (p & 7)) for p in _positions(url, m_bits))
+def _probe_positions(h1_i64: np.ndarray, h2_i64: np.ndarray, m_bits: int):
+    """(NUM_PROBES, n) bit positions via double hashing — pure numpy."""
+    h1 = h1_i64.view(np.uint64)
+    h2 = h2_i64.view(np.uint64) | np.uint64(1)  # odd stride
+    m = np.uint64(m_bits)
+    return [(h1 + np.uint64(i) * h2) % m for i in range(NUM_PROBES)]
 
 
 def _bucket_col(url_col, num_buckets: int, salt_hosts: dict | None = None):
@@ -100,16 +104,28 @@ def delta_bitmaps(urls: DataFrame, num_buckets: int,
                   salt_hosts: dict | None = None) -> DataFrame:
     """(bucket, bitmap, n_keys) for ONE increment of URLs (this superstep's
     attempted set, or the full seen table on init/rebuild). Shuffles only the
-    increment — never the accumulated state."""
-    b = urls.select("url").withColumn(
-        "bucket", _bucket_col(F.col("url"), num_buckets, salt_hosts)
+    increment — never the accumulated state. Hashes are JVM columns; the
+    per-bucket build is a vectorized numpy scatter."""
+    b = _hash_cols(urls.select("url")).select(
+        _bucket_col(F.col("url"), num_buckets, salt_hosts).alias("bucket"),
+        "__h1",
+        "__h2",
     )
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        h1 = pdf["__h1"].to_numpy(dtype=np.int64)
+        h2 = pdf["__h2"].to_numpy(dtype=np.int64)
+        for pos in _probe_positions(h1, h2, m_bits):
+            np.bitwise_or.at(
+                bits,
+                (pos >> np.uint64(3)).astype(np.int64),
+                np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)),
+            )
         return pd.DataFrame(
             {
                 "bucket": [int(pdf["bucket"].iloc[0])],
-                "bitmap": [build_bitmap(list(pdf["url"]), m_bits)],
+                "bitmap": [bits.tobytes()],
                 "n_keys": [len(pdf)],
             }
         )
@@ -138,14 +154,15 @@ def merge_bitmaps(state: DataFrame | None, delta: DataFrame) -> DataFrame:
     return both.groupBy("bucket").applyInPandas(_or, BLOOM_SCHEMA)
 
 
-def prefilter_with_state(cand: DataFrame, bloom_state: DataFrame,
-                         seen: DataFrame, num_buckets: int,
-                         salt_hosts: dict | None = None) -> DataFrame:
-    """Exact equivalent of ``cand.join(seen, 'url', 'left_anti')``: the
-    accumulated bitmaps reject definitely-unseen candidates cheaply; only
-    "maybe seen" survivors pay the exact anti-join against seen."""
+def probe_state(cand: DataFrame, bloom_state: DataFrame, num_buckets: int,
+                salt_hosts: dict | None = None) -> DataFrame:
+    """cand + boolean ``maybe_seen`` (True => maybe, False => DEFINITELY
+    unseen). The per-bucket probe is a vectorized numpy gather over the JVM
+    xxhash64 columns — no per-URL Python."""
     cand_cols = cand.columns
-    cand_b = cand.withColumn("bucket", _bucket_col(F.col("url"), num_buckets, salt_hosts))
+    cand_b = _hash_cols(cand).withColumn(
+        "bucket", _bucket_col(F.col("url"), num_buckets, salt_hosts)
+    )
     blooms = bloom_state.select("bucket", "bitmap")
 
     out_schema = cand_b.withColumn("maybe_seen", F.lit(True)).schema
@@ -155,14 +172,31 @@ def prefilter_with_state(cand: DataFrame, bloom_state: DataFrame,
             return left.assign(maybe_seen=pd.Series([], dtype=bool))
         if right.empty:
             return left.assign(maybe_seen=False)
-        bitmap = right["bitmap"].iloc[0]
-        return left.assign(maybe_seen=left["url"].map(lambda u: probe_bitmap(u, bitmap)))
+        bits = np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8)
+        h1 = left["__h1"].to_numpy(dtype=np.int64)
+        h2 = left["__h2"].to_numpy(dtype=np.int64)
+        maybe = np.ones(len(left), dtype=bool)
+        for pos in _probe_positions(h1, h2, len(bits) * 8):
+            byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+            maybe &= ((byte >> (pos & np.uint64(7)).astype(np.uint8)) & np.uint8(1)) == 1
+        return left.assign(maybe_seen=maybe)
 
     probed = (
         cand_b.groupBy("bucket")
         .cogroup(blooms.groupBy("bucket"))
         .applyInPandas(_probe, out_schema)
     )
+    return probed.select(*cand_cols, "maybe_seen")
+
+
+def prefilter_with_state(cand: DataFrame, bloom_state: DataFrame,
+                         seen: DataFrame, num_buckets: int,
+                         salt_hosts: dict | None = None) -> DataFrame:
+    """Exact equivalent of ``cand.join(seen, 'url', 'left_anti')``: the
+    accumulated bitmaps reject definitely-unseen candidates cheaply; only
+    "maybe seen" survivors pay the exact anti-join against seen."""
+    cand_cols = cand.columns
+    probed = probe_state(cand, bloom_state, num_buckets, salt_hosts)
     definitely_unseen = probed.filter(~F.col("maybe_seen")).select(*cand_cols)
     survivors = (
         probed.filter(F.col("maybe_seen"))

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, StringType
 
-from ..functions import kernels, udfs
+from ..functions import kernels, linkexpand, udfs
 from ..oracle.crawl_oracle import CrawlConfig
 from ..session import CACHE_LEVEL
 from . import bloom, ranking
@@ -519,7 +519,14 @@ class FrontierCrawler:
             new_pages = new_pages.select(*pages_cols)
             pages_count += added
 
-            seen_next = seen.unionByName(attempted.select("url")).dropDuplicates(["url"])  # Q5
+            # Q5. Plain union, NO dropDuplicates: `attempted` is exactly
+            # anti-joined against `seen` (Bloom path == exact path, audited),
+            # and internally distinct (attempted ⊆ cand ⊆ frontier; frontier
+            # urls are groupBy-dedup'd at discovery; the fetch join is
+            # row-preserving on the unique-url corpus). A dedup here
+            # re-shuffled the FULL seen set every superstep — O(|seen|)
+            # per-superstep shuffle for an invariant that already holds.
+            seen_next = seen.unionByName(attempted.select("url"))
             frontier_next = frontier
             if depth < cfg.depth_limit:                   # Q7: last depth no expand
                 links = self._new_links(
@@ -639,16 +646,18 @@ class FrontierCrawler:
 
     # ------------------------------------------------------------- link expand
     def _new_links(self, pages_with_links: DataFrame, from_depth: int) -> DataFrame:
-        """explode(extract_links) + per-url first-context dedup (min seed_id)."""
-        links = pages_with_links.select(
-            F.explode(
-                udfs.extract_links_udf(
-                    F.col("out_links"), F.col("base_url"), F.col("base_domain")
-                )
-            ).alias("url"),
-            "seed_id",
-            "base_url",
-            "base_domain",
+        """JVM-first link expansion + per-url first-context dedup (min
+        seed_id). ``linkexpand.expand_links`` keeps resolution + the common
+        normalize case inside whole-stage codegen (the pandas-UDF kernel runs
+        only on query/fragment/unicode links); the global groupBy subsumes
+        the kernel's per-page set dedup (same result, proven by
+        tests/test_linkexpand.py + the frontier parity suite)."""
+        links = linkexpand.expand_links(
+            pages_with_links,
+            "out_links",
+            F.col("base_url"),
+            F.col("base_domain"),
+            ["seed_id", "base_url", "base_domain"],
         )
         return (
             links.groupBy("url")
