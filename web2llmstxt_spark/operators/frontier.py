@@ -543,7 +543,7 @@ class FrontierCrawler:
             # The loop exits after this superstep when the depth limit or the
             # page budget is reached — then frontier/Bloom state is dead
             # weight: the frontier rewrite (O(|frontier|)) and the Bloom
-            # delta build (4 hashes/URL in Python) would never be read. The
+            # delta build (4 probe positions/URL) would never be read. The
             # last superstep is typically the LARGEST (budget exhaustion), so
             # skipping its state advance removes the single biggest
             # checkpoint. Durable runs (run_dir) still write everything —
