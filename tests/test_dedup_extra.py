@@ -130,3 +130,46 @@ def test_simhash_vectorized_matches_reference_kernel():
     want = [simhash64_py(t or "") for t in texts]
     assert got == want
     assert any(v < 0 for v in got)  # the signed-conversion branch is exercised
+
+
+def _minhash_py(text: str, k: int = 8) -> list[int]:
+    """Pure-Python twin of the affine MinHash formula (dedup.minhash_signatures
+    == dedup.minhash_sql): 60-bit md5 prefix mod 2^31-1, k affine transforms,
+    min over DISTINCT whitespace tokens of the lowercased/stripped text."""
+    import hashlib
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    toks = list(dict.fromkeys(ws.split((text or "").lower().strip())))
+    p = dedup.MINHASH_PRIME
+    hs = [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % p for t in toks]
+    return [min((h * a + b) % p for h in hs) for a, b in dedup.affine_coeffs(k)]
+
+
+def test_minhash_spark_matches_python_twin(spark):
+    """Spark conv(md5-prefix,16,10) + Column affine arithmetic must reproduce
+    the Python/DuckDB formula bit-for-bit (signed-64 exactness, no overflow)."""
+    texts = [
+        "the quick brown fox",
+        "",
+        "   ",
+        "UPPER case Mixed\ttabs\nnewlines",
+        "unicode tøkens 日本語 here",
+        "repeated repeated repeated token",
+        "x" * 4000 + " tail",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    got = {r["doc_id"]: [r[f"sig_{i}"] for i in range(8)]
+           for r in dedup.minhash_signatures(df, "text", "doc_id", k=8).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _minhash_py(t), f"doc {i}: {got[i]} != {_minhash_py(t)}"
+
+
+def test_minhash_one_md5_per_token_in_plan(spark):
+    """The scale contract: ONE md5 evaluation per token, not k. The optimized
+    plan must keep the hashed-token array in its own projection (CollapseProject
+    must not inline it into each of the k signature expressions)."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    sigs = dedup.minhash_signatures(df, "text", "doc_id", k=dedup.SCALE_MINHASHES)
+    plan = sigs._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5") <= 2, f"md5 duplicated across signatures:\n{plan[:2000]}"

@@ -14,8 +14,14 @@ Scale notes:
   materialize within buckets. Band keys are md5 strings => uniform
   distribution, no skew salting needed unless the corpus has giant
   boilerplate clusters (then: cap bucket size, sample within bucket).
-- determinism: signatures use lexicographic min over md5 hex digests (not
-  ``hash()``), so Spark, DuckDB and the Python twin agree bit-for-bit.
+- ONE md5 per distinct token, not k: each token is hashed once to a 60-bit
+  integer (md5-prefix), and the k MinHash functions are affine transforms
+  ``(a_i*h + b_i) mod p`` over it (classic universal-hash MinHash). At the
+  k=128 scale preset that is 128x fewer md5 evaluations per token — the
+  dominant CPU of signature building at 100 TB.
+- determinism: the md5 prefix and 64-bit modular arithmetic are identical in
+  Spark (``conv(hex,16,10)``) and DuckDB (``('0x'||hex)::BIGINT``), so the
+  engines agree bit-for-bit; products stay < 2^62 (p = 2^31-1), no overflow.
 """
 
 from __future__ import annotations
@@ -44,6 +50,23 @@ SCALE_BANDS = 16
 #: lowest-id members per (band, key) — documented-and-now-implemented.
 MAX_BUCKET = 64
 
+#: MinHash modulus: 2^31-1 (Mersenne prime). Keeps a_i*h + b_i < 2^62, so
+#: the affine transforms stay exact in int64 on BOTH engines.
+MINHASH_PRIME = 2147483647
+
+
+def affine_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the k universal-hash MinHash functions.
+
+    a_i = Knuth's multiplicative constant scaled by (i+1) mod p — nonzero for
+    all practical k (p is prime; 2654435761 mod p != 0); b_i an odd ramp.
+    Shared verbatim by the Spark plan and the DuckDB oracle twin.
+    """
+    return [
+        ((2654435761 * (i + 1)) % MINHASH_PRIME, (40503 * (i + 1) + 7) % MINHASH_PRIME)
+        for i in range(k)
+    ]
+
 
 def tokens_col(text: str | F.Column):
     """Lowercased whitespace tokens (the shingle universe)."""
@@ -69,29 +92,50 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = NUM_MINHASHES
 ) -> DataFrame:
-    """Per-doc MinHash signature: sig_i = min over tokens of md5(token||':'||i).
+    """Per-doc MinHash signature: sig_i = min over tokens of (a_i*h(t)+b_i) mod p.
 
-    Lexicographic min over hex digests — engine-portable determinism. Pure
-    Column algebra: no Python boundary, no shuffle.
-    Output: (id_col, sig_0..sig_{k-1}).
+    h(t) = 60-bit md5 prefix reduced mod p — computed ONCE per distinct token
+    in its own projection; the k signature functions are integer affine
+    transforms over that hashed array (k md5 calls per token would otherwise
+    dominate at the k=128 scale preset). Pure Column algebra: no Python
+    boundary, no shuffle. Output: (id_col, sig_0..sig_{k-1}) as bigints,
+    bit-identical to the DuckDB twin (minhash_sql).
     """
     toks = F.array_distinct(tokens_col(text_col))
+    p = F.lit(MINHASH_PRIME)
+    # NB: transform lambdas must take exactly ONE arg — a second arg would be
+    # interpreted by Spark as the array index.
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % p
+        ).alias("__th"),
+    )
+    def affine(a: int, b: int):
+        # closure factory: the returned lambda must take exactly ONE positional
+        # arg — binding a/b as DEFAULT args would make Spark see a 3-arg lambda
+        return lambda h: (h * F.lit(a) + F.lit(b)) % p
 
-    def sig(i: int):
-        # NB: the transform lambda must take exactly ONE arg — a second arg
-        # would be interpreted by Spark as the array index.
-        suffix = F.lit(f":{i}")
-        return F.array_min(F.transform(toks, lambda t: F.md5(F.concat(t, suffix))))
-
-    return df.select(F.col(id_col), *[sig(i).alias(f"sig_{i}") for i in range(k)])
+    sigs = [
+        F.array_min(F.transform(F.col("__th"), affine(a, b))).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(affine_coeffs(k))
+    ]
+    return hashed.select(F.col(id_col), *sigs)
 
 
 def minhash_sql(text_expr: str, id_expr: str, k: int = NUM_MINHASHES) -> str:
-    """DuckDB twin of minhash_signatures (select-list fragment)."""
+    """DuckDB twin of minhash_signatures (select-list fragment).
+
+    Inlines the token hash per signature (oracle runtime is irrelevant); the
+    arithmetic — 60-bit md5 prefix, mod 2^31-1, affine transform — is the
+    exact Spark formula, coefficient table shared via affine_coeffs().
+    """
     toks = f"list_distinct({whitespace_tokens_sql(text_expr)})"
+    p = MINHASH_PRIME
+    hm = f"(('0x' || substr(md5(t), 1, 15))::BIGINT % {p})"
     sigs = ", ".join(
-        f"list_min(list_transform({toks}, t -> md5(t || ':{i}'))) AS sig_{i}"
-        for i in range(k)
+        f"list_min(list_transform({toks}, t -> ({hm} * {a} + {b}) % {p})) AS sig_{i}"
+        for i, (a, b) in enumerate(affine_coeffs(k))
     )
     return f"{id_expr} AS doc_id, {sigs}"
 
@@ -102,7 +146,11 @@ def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id", k: int = NUM_MINHASHES,
     rows_per = k // bands
     out = []
     for b in range(bands):
-        parts = [F.col(f"sig_{b * rows_per + r}") for r in range(rows_per)]
+        # sigs are bigints; pin the string form so the DuckDB twin's
+        # sig::VARCHAR concatenation hashes the same bytes
+        parts = [
+            F.col(f"sig_{b * rows_per + r}").cast("string") for r in range(rows_per)
+        ]
         out.append(
             sig_df.select(
                 F.col(id_col),

@@ -396,7 +396,8 @@ def sql_dedup_exact():
 
 
 def q_minhash(spark, sf_dir):
-    """MinHash signatures (md5-lexicographic; engine-portable determinism)."""
+    """MinHash signatures (one md5 per token + affine universal hashes;
+    engine-portable 64-bit modular arithmetic)."""
     docs = load(spark, sf_dir, "documents")
     return dedup.minhash_signatures(docs, "text", "doc_id", k=4)
 
@@ -414,20 +415,16 @@ def q_lsh_pairs(spark, sf_dir):
 
 
 def sql_lsh_pairs():
-    # pinned whitespace class shared with the Spark side (dedup.py tokenizer);
-    # RE2's '\s' lacks \x0B — the exact divergence class behind round 1's
-    # token_stats mismatch, so never inline '\s+' in an oracle twin.
-    toks = f"list_distinct({textstats.whitespace_tokens_sql('text')})"
-    sigs = ", ".join(
-        f"list_min(list_transform({toks}, t -> md5(t || ':{i}'))) AS sig_{i}"
-        for i in range(8)
-    )
+    # signature fragment shared verbatim with the Spark side (dedup.minhash_sql
+    # — same pinned whitespace class, same affine coefficient table); band keys
+    # hash the decimal string form of the bigint sigs (dedup.lsh_bands casts).
     bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(sig_{2*b} || '|' || sig_{2*b+1}) AS band_key FROM sigs"
+        f"SELECT doc_id, {b} AS band,"
+        f" md5(sig_{2*b}::VARCHAR || '|' || sig_{2*b+1}::VARCHAR) AS band_key FROM sigs"
         for b in range(4)
     )
     return f"""
-        WITH sigs AS (SELECT doc_id, {sigs} FROM documents),
+        WITH sigs AS (SELECT {dedup.minhash_sql('text', 'doc_id', k=8)} FROM documents),
         bands AS ({bands})
         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
@@ -450,13 +447,9 @@ def q_jaccard_verify(spark, sf_dir):
 
 def sql_jaccard_verify():
     toks = textstats.whitespace_tokens_sql("text")
-    sigs = ", ".join(
-        f"list_min(list_transform(list_distinct({toks}), t -> md5(t || ':{i}'))) AS sig_{i}"
-        for i in range(8)
-    )
-    key = " || '|' || ".join(f"sig_{r}" for r in range(8))
+    key = " || '|' || ".join(f"sig_{r}::VARCHAR" for r in range(8))
     return f"""
-        WITH sigs AS (SELECT doc_id, {sigs} FROM documents),
+        WITH sigs AS (SELECT {dedup.minhash_sql('text', 'doc_id', k=8)} FROM documents),
         bands AS (SELECT doc_id, md5({key}) AS band_key FROM sigs),
         capped AS (
             SELECT doc_id, band_key FROM (
