@@ -90,3 +90,29 @@ def test_crash_between_seen_and_frontier_rolls_back(spark, tmp_path):
     got_seen = {r.url for r in seen.collect()}
     assert got_pages == full_pages
     assert got_seen == full_seen
+
+
+def test_snapshot_metrics_carry_partition_lineage(spark, tmp_path):
+    """Every committed superstep's metrics.json records per-partition
+    (host-hash bucket) frontier and page counts whose totals equal the
+    snapshotted state tables (north rule: per-partition lineage + metrics)."""
+    import json
+
+    corpus = generate_corpus(seed=41, n_hosts=2, pages_per_host=20)
+    cfg = CrawlConfig(max_pages=6)
+    run_dir = str(tmp_path / "lineage")
+    run_full(spark, corpus, cfg, run_dir)
+    last = checkpoint.last_complete_superstep(run_dir)
+    assert last is not None and last >= 1
+
+    for n in range(last + 1):
+        base = os.path.join(run_dir, f"superstep={n}")
+        with open(os.path.join(base, "metrics.json")) as f:
+            m = json.load(f)
+        fr = spark.read.parquet(os.path.join(base, "frontier"))
+        pg = spark.read.parquet(os.path.join(base, "pages"))
+        assert sum(m["frontier_by_bucket"].values()) == fr.count()
+        assert sum(m["pages_by_bucket"].values()) == pg.count()
+        # bucket ids are valid state-partition ids (default num_buckets=32)
+        assert all(0 <= int(k) < 32 for k in m["frontier_by_bucket"])
+        assert all(0 <= int(k) < 32 for k in m["pages_by_bucket"])

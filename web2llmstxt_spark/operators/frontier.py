@@ -218,6 +218,25 @@ class FrontierCrawler:
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
+    def _bucket_lineage(self, df: DataFrame) -> dict[str, int]:
+        """Per-partition (host-hash bucket) row counts for the durable
+        snapshot's metrics.json (north rule: per-partition lineage +
+        metrics). Keyed by the SAME salted bucket id that partitions the
+        Bloom/seen state (bloom._bucket_col), so an operator reading the
+        metrics can attribute frontier growth or skew to a concrete state
+        partition. Bounded at num_buckets keys and column-pruned to `url`
+        against the just-written parquet — run only in run_dir mode, where
+        the snapshot write already dominates the superstep wall."""
+        rows = (
+            df.groupBy(
+                bloom._bucket_col(F.col("url"), self.num_buckets, self.salt_hosts)
+                .alias("bucket")
+            )
+            .count()
+            .collect()
+        )
+        return {str(r["bucket"]): r["count"] for r in rows}
+
     def _commit_superstep(self, superstep: int) -> None:
         """Write the per-superstep commit marker LAST — a snapshot is only
         resumable once pages+seen+frontier (and metrics) are all on disk. A
@@ -384,6 +403,18 @@ class FrontierCrawler:
             pages_count = pages.count()
             seen = self._snapshot(pages.select("url"), "seen", 0)
             frontier = self._snapshot(self._new_links(main, from_depth=0), "frontier", 0)
+            self.metrics.append(
+                {
+                    "run_id": self.run_id,
+                    "superstep": 0,
+                    "pages_kept": pages_count,
+                    "pages_total": pages_count,
+                    "frontier_by_bucket": self._bucket_lineage(frontier),
+                    "pages_by_bucket": self._bucket_lineage(pages),
+                }
+            )
+            with open(os.path.join(self.run_dir, "superstep=0", "metrics.json"), "w") as f:
+                json.dump(self.metrics[-1], f)
             self._commit_superstep(0)
             all_pages = [pages]
             if self.use_bloom:
@@ -597,6 +628,11 @@ class FrontierCrawler:
                 }
             )
             if self.run_dir is not None:
+                # per-partition lineage rides the durable snapshot only: the
+                # two bounded aggs read back the parquet just written (url
+                # column pruned), invisible next to the snapshot write itself
+                self.metrics[-1]["frontier_by_bucket"] = self._bucket_lineage(frontier)
+                self.metrics[-1]["pages_by_bucket"] = self._bucket_lineage(new_pages)
                 with open(os.path.join(self.run_dir, f"superstep={depth}", "metrics.json"), "w") as f:
                     json.dump(self.metrics[-1], f)
                 self._commit_superstep(depth)

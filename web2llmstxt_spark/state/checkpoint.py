@@ -3,9 +3,13 @@
 Layout written by FrontierCrawler(run_dir=...):
 
     run_dir/
-      superstep=0/ pages/ seen/ frontier/
+      superstep=0/ pages/ seen/ frontier/ metrics.json
       superstep=1/ pages/ seen/ frontier/ metrics.json
       ...
+
+Each metrics.json carries the superstep's counters plus per-partition
+lineage: ``frontier_by_bucket`` / ``pages_by_bucket`` row counts keyed by
+the salted host-hash bucket id that partitions the Bloom/seen state.
 
 Each ``superstep=N`` directory is a consistent snapshot AFTER superstep N
 (parquet `_SUCCESS` markers make partial writes detectable). This is the
