@@ -31,6 +31,7 @@ HEADLINE = [
     "minhash",
     "lsh_pairs",
     "jaccard_verify",
+    "dedup_components",
     "embed_neardup",
     "quality_scores",
     "fingerprints",

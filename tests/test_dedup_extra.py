@@ -173,3 +173,30 @@ def test_minhash_one_md5_per_token_in_plan(spark):
     sigs = dedup.minhash_signatures(df, "text", "doc_id", k=dedup.SCALE_MINHASHES)
     plan = sigs._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("md5") <= 2, f"md5 duplicated across signatures:\n{plan[:2000]}"
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """A 5-node path (needs multiple propagation rounds: min label travels
+    the diameter), a 2-clique, and symmetric/duplicate input edges."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11), (11, 10), (10, 11)],
+        "a long, b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converges_early(spark):
+    """A clique converges in one round; max_iters is an upper bound, not a
+    fixed cost (the changed-count early exit must fire)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "a long, b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs, max_iters=25).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}

@@ -213,6 +213,60 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     )
 
 
+def connected_components(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
+                         max_iters: int = 25) -> DataFrame:
+    """Duplicate-CLUSTER assignment: (node, component) for every node that
+    appears in a pair, where component = MIN node id reachable over the pair
+    graph — the canonical-representative step a dedup pipeline runs after
+    LSH/Jaccard pair generation (keep one doc per component, drop the rest).
+
+    Min-label propagation: label(x) starts at min(x, direct neighbors) and
+    each round takes the min over neighbors' labels, converging in
+    graph-diameter rounds (near-dup components are dense, typically D <= 3).
+    Per round: ONE join of the bounded (node,label) table against the
+    persisted symmetric edge list + a groupBy min — no full-graph rebuild,
+    lineage truncated per round via localCheckpoint. The convergence count
+    doubles as the round's one materializing action. At 10^10+ edges with
+    adversarial diameters, swap the loop body for alternating large-star/
+    small-star (Kiveris et al., "Connected Components in MapReduce"), which
+    keeps the same (node,label) interface.
+    """
+    e = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    edges = (
+        e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.groupBy("x")
+        .agg(F.min("y").alias("__nbr"))
+        .select("x", F.least(F.col("x"), F.col("__nbr")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("x").alias("y"), F.col("label").alias("__yl")), "y"
+            )
+            .groupBy("x")
+            .agg(F.min("__yl").alias("__nl"))
+        )
+        stepped = labels.join(nbr, "x", "left").select(
+            "x",
+            F.col("label").alias("__old"),
+            F.least("label", F.coalesce("__nl", "label")).alias("label"),
+        )
+        # lazy checkpoint: the convergence count below is the round's ONE
+        # materializing action and fills the checkpoint as a side effect
+        stepped = stepped.localCheckpoint(eager=False)
+        changed = stepped.filter(F.col("label") < F.col("__old")).count()
+        labels = stepped.drop("__old")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("x").alias("node"), F.col("label").alias("component"))
+
+
 # ------------------------------------------------------------------- SimHash
 
 #: simhash tokenizer: the pinned whitespace class (textstats.WS_CLASS_JAVA as

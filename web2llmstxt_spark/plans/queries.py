@@ -445,11 +445,13 @@ def q_jaccard_verify(spark, sf_dir):
     return jac.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
-def sql_jaccard_verify():
+def _jaccard_scored_ctes():
+    """Shared DuckDB CTE chain (sigs -> bands -> capped buckets -> candidate
+    pairs -> 3-gram shingles -> scored): the single source of truth for the
+    oracle side of BOTH jaccard_verify and dedup_components."""
     toks = textstats.whitespace_tokens_sql("text")
     key = " || '|' || ".join(f"sig_{r}::VARCHAR" for r in range(8))
-    return f"""
-        WITH sigs AS (SELECT {dedup.minhash_sql('text', 'doc_id', k=8)} FROM documents),
+    return f"""sigs AS (SELECT {dedup.minhash_sql('text', 'doc_id', k=8)} FROM documents),
         bands AS (SELECT doc_id, md5({key}) AS band_key FROM sigs),
         capped AS (
             SELECT doc_id, band_key FROM (
@@ -474,10 +476,68 @@ def sql_jaccard_verify():
                    len(list_distinct(list_concat(sa.sh, sb.sh))) AS u
             FROM pairs p
             JOIN sh sa ON p.a = sa.doc_id
-            JOIN sh sb ON p.b = sb.doc_id)
+            JOIN sh sb ON p.b = sb.doc_id)"""
+
+
+def sql_jaccard_verify():
+    return f"""
+        WITH {_jaccard_scored_ctes()}
         SELECT a, b,
                round(CASE WHEN u > 0 THEN inter::DOUBLE / u ELSE 0.0 END, 4) AS jaccard
         FROM scored
+    """
+
+
+#: Jaccard threshold above which a candidate pair counts as a true duplicate
+#: for cluster assignment (dedup_components). Shared by the Spark plan and
+#: the DuckDB recursive-CTE oracle.
+DEDUP_COMPONENT_T = 0.6
+
+
+def q_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERS end-to-end: LSH candidates -> exact Jaccard verify
+    (>= DEDUP_COMPONENT_T) -> connected components over the verified-pair
+    graph (min-label propagation, dedup.connected_components) -> every
+    document labeled with its canonical (min-id) duplicate-group
+    representative. Documents with no verified duplicate are their own
+    component — the output is a total dedup assignment: keep one doc per
+    component value, drop the rest."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", k=8)
+    bands = dedup.lsh_bands(sigs, "doc_id", k=8, bands=1)
+    cand = dedup.lsh_candidate_pairs(bands, "doc_id", max_bucket=dedup.MAX_BUCKET)
+    jac = dedup.ngram_jaccard(docs, cand, "text", "doc_id", n=3)
+    pairs = jac.filter(F.col("jaccard") >= DEDUP_COMPONENT_T).select("a", "b")
+    comp = dedup.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    singles = (
+        docs.select("doc_id")
+        .join(comp.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("component", F.col("doc_id"))
+    )
+    return comp.unionByName(singles)
+
+
+def sql_dedup_components():
+    # the recursive walk enumerates reachable nodes per start node — fine at
+    # oracle scale (components are tiny); the Spark side's label propagation
+    # computes the same min-reachable-id without materializing walks.
+    return f"""
+        WITH RECURSIVE {_jaccard_scored_ctes()},
+        verified AS (
+            SELECT a, b FROM scored
+            WHERE u > 0 AND inter::DOUBLE / u >= {DEDUP_COMPONENT_T}),
+        edges AS (
+            SELECT a AS x, b AS y FROM verified
+            UNION
+            SELECT b AS x, a AS y FROM verified),
+        walk(x, r) AS (
+            SELECT x, y FROM edges
+            UNION
+            SELECT w.x, e.y FROM walk w JOIN edges e ON e.x = w.r
+        ),
+        comp AS (SELECT x AS doc_id, LEAST(x, MIN(r)) AS component FROM walk GROUP BY x)
+        SELECT d.doc_id AS doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
     """
 
 
@@ -1059,6 +1119,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash": (q_minhash, sql_minhash),
     "lsh_pairs": (q_lsh_pairs, sql_lsh_pairs),
     "jaccard_verify": (q_jaccard_verify, sql_jaccard_verify),
+    "dedup_components": (q_dedup_components, sql_dedup_components),
     "embed_neardup": (q_embed_neardup, sql_embed_neardup),
     "quality_scores": (q_quality_scores, sql_quality_scores),
     "fingerprints": (q_fingerprints, sql_fingerprints),
