@@ -34,7 +34,9 @@ def test_bloom_state_is_incremental(spark, tmp_path):
     engine, pages, seen = _run(
         spark, corpus, cfg, use_bloom=True, run_dir=str(tmp_path / "bloomrun")
     )
-    supersteps = len(engine.metrics)
+    # durable mode also records a superstep-0 entry (seed fetch); the BSP
+    # loop's advancing supersteps are the entries with superstep >= 1
+    supersteps = sum(1 for m in engine.metrics if m["superstep"] >= 1)
     assert supersteps >= 2, "need a multi-superstep crawl to prove incrementality"
     assert engine.bloom_deltas == supersteps
     assert engine.bloom_rebuilds == 0
@@ -101,3 +103,43 @@ def test_merge_bitmaps_unit(spark):
     assert merged == direct
     n_keys = {r.bucket: r.n_keys for r in bloom.merge_bitmaps(d1, d2).collect()}
     assert sum(n_keys.values()) == 80
+
+
+def test_salted_seed_rediscovery_no_false_negative(spark):
+    """Regression: the depth-0 bitmap build must salt with the SAME
+    salt_hosts as the probe side. Two seeds share one salted host; pages in
+    seed B's context link to a raw variant of seed A's URL
+    ("https://ex0.example/?") that normalizes back to seed A — the
+    `norm != base_url` self-link drop doesn't fire because base_url is
+    seed B's. If seed A's bits were written unsalted while the probe reads
+    the salted bucket, seed A becomes a Bloom false negative at depth 1 and
+    — because definitely-unseen rows bypass the exact anti-join — gets
+    re-crawled. Bloom-on must equal bloom-off under salting."""
+    corpus = generate_corpus(seed=41, n_hosts=1, pages_per_host=25)
+    root = corpus.seeds[0][1]                       # https://ex0.example/
+    seeds = [(0, root), (1, "https://ex0.example/docs/bucket-972")]
+    seed_variant = root.rstrip("/") + "/?"          # normalizes to seed A
+    rows = []
+    for r in corpus.site_pages_rows():
+        # plant the backlink on every page so depth-1 rediscovers seed A
+        rows.append(r[:5] + (list(r[5]) + [seed_variant],) + r[6:])
+    site = spark.createDataFrame(rows, schemas.SITE_PAGES).cache()
+    cfg = CrawlConfig(max_pages=12)
+    salt = {"ex0.example": 8}
+
+    def run(use_bloom):
+        eng = FrontierCrawler(
+            spark, site, cfg, robots_rules=corpus.robots_rules,
+            use_bloom=use_bloom, salt_hosts=salt,
+        )
+        pages_df, seen_df = eng.crawl(seeds)
+        pages = [tuple(r) for r in
+                 pages_df.select("rank", "url", "depth").orderBy("rank").collect()]
+        return pages, {r.url for r in seen_df.collect()}
+
+    pages_on, seen_on = run(True)
+    pages_off, seen_off = run(False)
+    assert pages_on == pages_off
+    assert seen_on == seen_off
+    urls_on = [u for _, u, _ in pages_on]
+    assert len(urls_on) == len(set(urls_on)), "seed re-crawled: bloom false negative"

@@ -157,8 +157,13 @@ def test_superstep_metrics_match_oracle_depth_counts(spark, tmp_path):
     for depth, m in by_step.items():
         assert m["pages_kept"] == kept_by_depth.get(depth, 0), (depth, m)
         assert m["attempted"] >= m["pages_kept"]
+    # oracle seen at depth 0 holds only SUCCESSFUL seed fetches (quirk Q5
+    # applies from depth 1 on), so the attempted identity sums depths >= 1;
+    # the durable superstep-0 entry reports the deduped seed count instead
     n_depth0 = kept_by_depth.get(0, 0)
-    assert sum(m["attempted"] for m in by_step.values()) == len(oracle_res.seen) - n_depth0
+    assert sum(
+        m["attempted"] for d, m in by_step.items() if d >= 1
+    ) == len(oracle_res.seen) - n_depth0
     # persisted metrics.json per superstep agrees with the in-memory list
     import json as _json
     import os as _os

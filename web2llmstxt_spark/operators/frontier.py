@@ -360,6 +360,9 @@ class FrontierCrawler:
             .filter(F.col("__sr") == 1)
             .drop("__sr")
         )
+        # deduped seed count, driver-side (same normalize kernel as the UDF):
+        # feeds the durable superstep-0 metrics' `attempted` without a job
+        n_seeds = len({kernels.normalize_url(u) for _, u in seeds})
 
         # --- depth 0: main pages (ref :196-206 (pyc); score 10.0, no wc gate)
         fetched0 = self.fetcher.fetch(seeds_df)
@@ -407,8 +410,12 @@ class FrontierCrawler:
                 {
                     "run_id": self.run_id,
                     "superstep": 0,
+                    "attempted": n_seeds,
                     "pages_kept": pages_count,
                     "pages_total": pages_count,
+                    "bloom_deltas": self.bloom_deltas,
+                    "bloom_rebuilds": self.bloom_rebuilds,
+                    "bloom_m_bits": self.bloom_m_bits,
                     "frontier_by_bucket": self._bucket_lineage(frontier),
                     "pages_by_bucket": self._bucket_lineage(pages),
                 }
@@ -427,8 +434,12 @@ class FrontierCrawler:
             pages_count = pages.count()
             bloom0 = None
             if self.use_bloom:
+                # salt_hosts MUST reach the build side too: a salted seed
+                # host's bits must land in the same bucket the probe reads,
+                # else depth-0 URLs become Bloom false negatives (re-crawled)
                 bloom0 = bloom.delta_bitmaps(
-                    pages.select("url"), self.num_buckets, self.bloom_m_bits
+                    pages.select("url"), self.num_buckets, self.bloom_m_bits,
+                    self.salt_hosts
                 )
             seen, frontier, self._bloom, frontier_count = self._checkpoint_state(
                 pages.select("url"), self._new_links(main, from_depth=0), bloom0, 0
