@@ -82,8 +82,12 @@ def main() -> None:
     )
     site = spark.read.parquet(os.path.join(corpus_dir, "site_pages.parquet"))
     # hash-partition by url: the fetch join then reuses this partitioning and
-    # only the (small) per-superstep attempt set shuffles
-    site = site.repartition(parts, "url").persist(lvl)
+    # only the (small) per-superstep attempt set shuffles. Sorting WITHIN each
+    # partition by url gives every cached columnar batch a tight url min/max,
+    # so In-predicate scans (the depth-0 seed fetch's url_hint pushdown) prune
+    # whole batches — the cached-table analogue of Iceberg sorted-file +
+    # min/max metadata pruning.
+    site = site.repartition(parts, "url").sortWithinPartitions("url").persist(lvl)
     n_site = site.count()
 
     # warmup: compile codegen paths + spawn EVERY python worker once. A

@@ -255,3 +255,27 @@ def test_salted_crawl_parity(spark):
     engine_pages = [r.asDict() for r in pages_df.orderBy("rank").collect()]
     engine_seen = {r.url for r in seen_df.collect()}
     assert_parity(oracle_res, engine_pages, engine_seen)
+
+
+def test_fetch_url_hint_parity(spark):
+    """The depth-0 url_hint pushdown is semantics-free: filtering the corpus
+    side of the left-outer fetch join to a superset of the candidate URL set
+    (here: exactly the seed list, known driver-side) must produce the same
+    rows as the unfiltered join — including left rows with NO corpus match
+    (a seed URL absent from the corpus)."""
+    from web2llmstxt_spark.operators.frontier import TableFetcher
+
+    corpus = generate_corpus(seed=43, n_hosts=2, pages_per_host=15)
+    site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES)
+    urls = sorted(corpus.pages)[:5] + ["https://nowhere.example/missing"]
+    cand = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "seed_id int, url string")
+    fetcher = TableFetcher(site)
+    cols = ["url", "found", "success", "title", "content", "wc"]
+    plain = {tuple(r) for r in fetcher.fetch(cand).select(*cols).collect()}
+    hinted = {tuple(r) for r in fetcher.fetch(cand, url_hint=urls).select(*cols).collect()}
+    assert plain == hinted
+    assert any(not r[1] for r in hinted)  # the missing URL survived as found=False
+    # over-bound hint list disables the prefilter but must stay correct too
+    big_hint = urls + [f"https://pad.example/{i}" for i in range(TableFetcher.URL_HINT_MAX + 1)]
+    over = {tuple(r) for r in fetcher.fetch(cand, url_hint=big_hint).select(*cols).collect()}
+    assert over == plain

@@ -83,10 +83,19 @@ class TableFetcher:
     93-103) becomes a broadcast join of the (small) per-superstep attempt set
     against the corpus."""
 
+    # crawl() passes url_hint= only to fetchers that declare support, so a
+    # user-injected fetcher with the plain fetch(cand) signature keeps working
+    supports_url_hint = True
+
+    # isin() pushdown bound: past this the In-list itself is the bottleneck
+    # (expression tree size, per-batch evaluation) and a scan-side prefilter
+    # stops paying for itself vs just streaming the corpus into the join
+    URL_HINT_MAX = 8192
+
     def __init__(self, site_pages: DataFrame):
         self.site = site_pages
 
-    def fetch(self, cand: DataFrame) -> DataFrame:
+    def fetch(self, cand: DataFrame, url_hint: list[str] | None = None) -> DataFrame:
         """cand(url, ...) -> cand + (found, success, title, content, wc, out_links).
 
         Left join preserving the attempt set; the per-superstep attempt set is
@@ -94,8 +103,21 @@ class TableFetcher:
         broadcast of whichever side is actually small at runtime. (In
         production fetch is HTTP via mapInPandas; this join only exists in the
         simulator, so its scan cost is not the scale design point.)
+
+        url_hint: when the caller already knows the complete candidate URL
+        set driver-side (depth 0: the normalized seed list — no collect
+        involved), push it into the corpus scan as an In-predicate. Against a
+        cached corpus sorted within partitions by url this prunes whole
+        columnar batches via their min/max stats; against a parquet/Iceberg
+        source it prunes row groups / data files. This is the scan-pruning
+        an Iceberg seed-lookup would get from metadata for free, and it is
+        semantics-free: filtering the RIGHT side of a left-outer equi-join
+        to a superset of the left side's keys cannot change the result.
         """
-        site = self.site.select(
+        site = self.site
+        if url_hint is not None and len(url_hint) <= self.URL_HINT_MAX:
+            site = site.filter(F.col("url").isin(list(url_hint)))
+        site = site.select(
             "url", "title", "spans", "out_links", "fetch_ok"
         ).withColumn("found", F.lit(True))
         # SHUFFLE_HASH on the attempt side: the left-outer join preserves
@@ -372,10 +394,18 @@ class FrontierCrawler:
         )
         # deduped seed count, driver-side (same normalize kernel as the UDF):
         # feeds the durable superstep-0 metrics' `attempted` without a job
-        n_seeds = len({kernels.normalize_url(u) for _, u in seeds})
+        seed_urls = sorted({kernels.normalize_url(u) for _, u in seeds})
+        n_seeds = len(seed_urls)
 
         # --- depth 0: main pages (ref :196-206 (pyc); score 10.0, no wc gate)
-        fetched0 = self.fetcher.fetch(seeds_df)
+        # The seed URL set is known driver-side (it IS the input), so push it
+        # into the fetch as a scan predicate: the corpus scan prunes columnar
+        # batches / parquet row groups instead of streaming the full table to
+        # probe |seeds| keys. Only for fetchers that declare the kwarg.
+        if getattr(self.fetcher, "supports_url_hint", False):
+            fetched0 = self.fetcher.fetch(seeds_df, url_hint=seed_urls)
+        else:
+            fetched0 = self.fetcher.fetch(seeds_df)
         main = (
             fetched0.filter(F.col("success"))
             .withColumn("title2", udfs.extract_title_udf(F.col("title"), F.col("content"), F.col("url")))

@@ -53,8 +53,15 @@ def get_spark(
         # match parallelism, not the 200 default (sandbox data is small;
         # at cluster scale this is set to ~2-3x total cores instead)
         shuffle_partitions = max(cores, 8)
+    # SPARK_GRAFT_MASTER=spark://host:port runs against a real standalone
+    # cluster (scripts/standalone_cluster.py starts one on this box: N
+    # executor JVMs with their own heaps — the deployment shape the north
+    # rule names, vs local[N]'s single shared JVM). `cores` stays the TOTAL
+    # core count for partition/shuffle sizing; per-executor cores/memory are
+    # the cluster's to declare via SPARK_GRAFT_EXEC_CORES / _EXEC_MEM.
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cores}]"
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -76,6 +83,19 @@ def get_spark(
         # visible and EnsureRequirements shuffles only the small side
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     )
+    if master.startswith("spark://"):
+        import sys
+
+        builder = (
+            builder
+            .config("spark.executor.cores", os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
+            .config("spark.executor.memory", os.environ.get("SPARK_GRAFT_EXEC_MEM", "10g"))
+            # deterministic slot count: take exactly the cluster we sized
+            .config("spark.cores.max", str(cores))
+            # executors must run the SAME interpreter as the driver (pandas/
+            # pyarrow versions travel with it); don't trust the worker's PATH
+            .config("spark.pyspark.python", sys.executable)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
