@@ -20,7 +20,10 @@ import pyspark.sql.functions as F  # noqa: E402
 from web2llmstxt_spark.functions import native, udfs  # noqa: E402
 from web2llmstxt_spark.operators import dedup, textstats  # noqa: E402
 from web2llmstxt_spark.oracle.crawl_oracle import CrawlConfig  # noqa: E402
-from web2llmstxt_spark.operators.frontier import FrontierCrawler  # noqa: E402
+from web2llmstxt_spark.operators.frontier import (  # noqa: E402
+    ClosedFormFetcher,
+    FrontierCrawler,
+)
 from web2llmstxt_spark.plans import distill  # noqa: E402
 from web2llmstxt_spark.session import get_spark, run_jobs_concurrently  # noqa: E402
 
@@ -80,15 +83,50 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_CACHE_DESER")
         else StorageLevel(True, True, False, False, 1)  # serialized mem+disk
     )
-    site = spark.read.parquet(os.path.join(corpus_dir, "site_pages.parquet"))
-    # hash-partition by url: the fetch join then reuses this partitioning and
-    # only the (small) per-superstep attempt set shuffles. Sorting WITHIN each
-    # partition by url gives every cached columnar batch a tight url min/max,
-    # so In-predicate scans (the depth-0 seed fetch's url_hint pushdown) prune
-    # whole batches — the cached-table analogue of Iceberg sorted-file +
-    # min/max metadata pruning.
-    site = site.repartition(parts, "url").sortWithinPartitions("url").persist(lvl)
-    n_site = site.count()
+    # fetch mode: "table" joins every superstep's candidates against the
+    # cached corpus (the Iceberg-documents-table reading of the north rule —
+    # scan+join work proportional to the CORPUS); "closedform" evaluates each
+    # candidate URL in O(1) inside mapInPandas (the HTTP reading — work
+    # proportional to the CANDIDATES; sources/cfcorpus.py). Running the
+    # matrix in both modes separates frontier-engine scaling from the
+    # documents-table scan term. Default: closedform when the corpus carries
+    # cf params, else table. Override: SPARK_GRAFT_FETCHER=table|closedform.
+    fetch_mode = os.environ.get(
+        "SPARK_GRAFT_FETCHER", "closedform" if "cf" in meta else "table"
+    )
+    if fetch_mode == "closedform":
+        if "cf" not in meta:
+            raise SystemExit("closedform fetch needs cf params in meta.json")
+        cf = meta["cf"]
+        fetcher = ClosedFormFetcher(
+            cf["seed"], cf["n_hosts"], cf["pages_per_host"],
+            cf.get("out_links", 40), cf.get("host_offset", 0),
+        )
+        site = None
+        n_site = meta["n_pages"]
+        # warmup source: synthetic rows instead of the (unread) corpus table
+        warm_src = spark.range(0, 64 * 64).select(
+            F.concat(F.lit("https://bh0.example/docs/x-"), F.col("id")).alias("url"),
+            F.lit("T | BH0").alias("title"),
+            F.array(F.struct(
+                F.lit("text").alias("kind"), F.lit("warm words").alias("text"),
+                F.lit("").alias("media_ref"), F.lit(0).cast("int").alias("offset"),
+            )).alias("spans"),
+            F.array(F.lit("/docs/a-1"), F.lit("#top")).alias("out_links"),
+        )
+    else:
+        fetcher = None
+        site = spark.read.parquet(os.path.join(corpus_dir, "site_pages.parquet"))
+        # hash-partition by url: the fetch join then reuses this partitioning
+        # and only the (small) per-superstep attempt set shuffles. Sorting
+        # WITHIN each partition by url gives every cached columnar batch a
+        # tight url min/max, so In-predicate scans (the depth-0 seed fetch's
+        # url_hint pushdown) prune whole batches — the cached-table analogue
+        # of Iceberg sorted-file + min/max metadata pruning.
+        site = site.repartition(parts, "url").sortWithinPartitions("url").persist(lvl)
+        spark.sparkContext.setJobDescription("corpus-cache-build")
+        n_site = site.count()
+        warm_src = site.limit(64 * 64)
 
     # warmup: compile codegen paths + spawn EVERY python worker once. A
     # limit() warmup runs on ~1 partition and spawns one worker; the first
@@ -99,7 +137,7 @@ def main() -> None:
     # 2x cores guarantees a task (and a worker) per slot, and the column
     # set covers every pandas-UDF kernel the crawl + distill touch.
     warm = (
-        site.limit(64 * 64).repartition(cores * 2)
+        warm_src.repartition(cores * 2)
         .select(
             udfs.normalize_url_udf("url").alias("u"),
             native.score_url_native(F.col("url"), F.lit("https://bh0.example")).alias("s"),
@@ -107,17 +145,20 @@ def main() -> None:
             udfs.extract_title_udf(F.col("title"), udfs.spans_to_content(F.col("spans")), F.col("url")).alias("t"),
         )
     )
+    spark.sparkContext.setJobDescription("warmup")
     warm.write.format("noop").mode("overwrite").save()
 
     cfg = CrawlConfig(max_pages=budget, safety_limit=budget)
     crawler = FrontierCrawler(
-        spark, site, cfg, use_bloom=True, use_native_scorer=True, run_dir=None
+        spark, site, cfg, use_bloom=True, use_native_scorer=True, run_dir=None,
+        fetcher=fetcher,
     )
     seeds = [(i, u) for i, u in enumerate(meta["seeds"])]
 
     t0 = time.time()
     pages, seen = crawler.crawl(seeds)
     t_cache = time.time()
+    spark.sparkContext.setJobDescription("pages-cache-build")
     pages = pages.persist(lvl)
     n_pages = pages.count()
     cache_build_wall = time.time() - t_cache
@@ -134,6 +175,7 @@ def main() -> None:
     entries = distill.categorize_entries(entries, pages)
     prof = textstats.text_profile(pages, text_col="content", id_col="url")
     sims = dedup.simhash(pages, "content", "url")
+    spark.sparkContext.setJobDescription("distill")
     results = run_jobs_concurrently(
         spark,
         [
@@ -153,6 +195,7 @@ def main() -> None:
         json.dumps(
             {
                 "cores": cores,
+                "fetch_mode": fetch_mode,
                 "site_pages": n_site,
                 "wall_sec": round(wall, 2),
                 "crawl_sec": round(crawl_wall, 2),

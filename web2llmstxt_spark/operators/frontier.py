@@ -127,18 +127,106 @@ class TableFetcher:
         # With it, the tiny attempt set builds the hash table (LeftOuter +
         # BuildLeft) and the cached corpus streams partition-aligned.
         joined = cand.hint("SHUFFLE_HASH").join(site, "url", "left")
-        return (
+        return _fetch_post(
             joined.withColumn("found", F.coalesce(F.col("found"), F.lit(False)))
-            .withColumn(
-                "content",
-                F.when(F.col("found"), udfs.spans_to_content(F.col("spans"))).otherwise(F.lit(None)),
-            )
-            .withColumn(
-                "wc",
-                F.when(F.col("found"), udfs.native_word_count(F.col("content"))).otherwise(F.lit(0)),
-            )
-            .withColumn("success", F.col("found") & F.coalesce(F.col("fetch_ok"), F.lit(False)))
         )
+
+
+def _fetch_post(df: DataFrame) -> DataFrame:
+    """Shared fetch post-processing (TableFetcher + ClosedFormFetcher):
+    derive content/wc/success from (found, spans, fetch_ok) with the SAME
+    JVM expressions so both fetch modes are bit-identical downstream."""
+    return (
+        df.withColumn(
+            "content",
+            F.when(F.col("found"), udfs.spans_to_content(F.col("spans"))).otherwise(F.lit(None)),
+        )
+        .withColumn(
+            "wc",
+            F.when(F.col("found"), udfs.native_word_count(F.col("content"))).otherwise(F.lit(0)),
+        )
+        .withColumn("success", F.col("found") & F.coalesce(F.col("fetch_ok"), F.lit(False)))
+    )
+
+
+class ClosedFormFetcher:
+    """HTTP-shaped fetch against the closed-form corpus
+    (sources/cfcorpus.py): a mapInPandas that evaluates each candidate URL's
+    page in O(1) — per-candidate work only, NO documents-table scan.
+
+    This is the production fetcher's exact cost shape (the reference fetches
+    each URL over HTTP and parses it: crawler/web_crawler.py:93-103 — work
+    proportional to |candidates|, never to the corpus), so the scaling
+    matrix uses it to measure the frontier ENGINE separated from the
+    documents-table scan that TableFetcher adds (BENCH_SCALING.md). Parity:
+    tests/test_cf_fetcher.py proves it byte-equal to TableFetcher over the
+    parquet written by generate_corpus_cf from the same params.
+    """
+
+    # crawl() may pass url_hint; a scan prefilter is meaningless here (there
+    # is no scan), so accept-and-ignore keeps the call-site contract
+    supports_url_hint = True
+
+    def __init__(self, seed: int, n_hosts: int, pages_per_host: int,
+                 out_links: int = 40, host_offset: int = 0):
+        self.params = (seed, n_hosts, pages_per_host, out_links, host_offset)
+
+    def fetch(self, cand: DataFrame, url_hint=None) -> DataFrame:
+        from pyspark.sql.types import (
+            ArrayType, BooleanType, IntegerType, StringType, StructField,
+            StructType,
+        )
+
+        seed, n_hosts, pages_per_host, out_links, host_offset = self.params
+        span_t = StructType([
+            StructField("kind", StringType()),
+            StructField("text", StringType()),
+            StructField("media_ref", StringType()),
+            StructField("offset", IntegerType()),
+        ])
+        out_schema = StructType(
+            list(cand.schema.fields)
+            + [
+                StructField("title", StringType()),
+                StructField("spans", ArrayType(span_t)),
+                StructField("out_links", ArrayType(StringType())),
+                StructField("fetch_ok", BooleanType()),
+                StructField("found", BooleanType()),
+            ]
+        )
+
+        def gen(batches):
+            # executors import from the shipped package zip
+            from web2llmstxt_spark.sources import cfcorpus
+
+            for pdf in batches:
+                titles, spans_c, links_c, oks, founds = [], [], [], [], []
+                for url in pdf["url"]:
+                    loc = cfcorpus.invert_url(
+                        url, seed, n_hosts, pages_per_host, host_offset
+                    )
+                    if loc is None:
+                        titles.append(None); spans_c.append(None)
+                        links_c.append(None); oks.append(None)
+                        founds.append(False)
+                    else:
+                        row = cfcorpus.page_fields(
+                            seed, loc[0], loc[1], pages_per_host, out_links
+                        )
+                        titles.append(row["title"])
+                        spans_c.append(row["spans"])
+                        links_c.append(row["out_links"])
+                        oks.append(row["fetch_ok"])
+                        founds.append(True)
+                out = pdf.copy()
+                out["title"] = titles
+                out["spans"] = spans_c
+                out["out_links"] = links_c
+                out["fetch_ok"] = oks
+                out["found"] = founds
+                yield out
+
+        return _fetch_post(cand.mapInPandas(gen, out_schema))
 
 
 class HttpFetcher:
@@ -362,6 +450,13 @@ class FrontierCrawler:
         """Two-pass distributed rank (shared impl: operators/ranking.py)."""
         return ranking.global_rank(df, order, rank_col, cum_col_flag)
 
+    def _jobdesc(self, tag: str) -> None:
+        """Crawl-phase tag for event-log / Spark-UI attribution: every job
+        submitted after this carries ``crawl:<tag>`` in its description
+        (scripts/analyze_eventlog.py groups stage walls by it). Driver-side
+        only; zero effect on plans."""
+        self.spark.sparkContext.setJobDescription(f"crawl:{tag}")
+
     # ------------------------------------------------------------------ crawl
     def crawl(self, seeds: list[tuple[int, str]], _resume=None):
         """Run the full BFS; returns (pages_df ordered by rank, seen_df).
@@ -485,6 +580,7 @@ class FrontierCrawler:
         else:
             main0 = main0.persist(CACHE_LEVEL)
             pages = main0.select(*PAGES_COL_NAMES)
+            self._jobdesc("d0-fetch")
             pages_count = main0.count()
             self.phase_walls["d0_fetch_ms"] = int((time.time() - t_crawl) * 1000)
             bloom0 = None
@@ -496,6 +592,7 @@ class FrontierCrawler:
                     pages.select("url"), self.num_buckets, self.bloom_m_bits,
                     self.salt_hosts
                 )
+            self._jobdesc("d0-state")
             t_d0s = time.time()
             seen, frontier, self._bloom, frontier_count = self._checkpoint_state(
                 pages.select("url"),
@@ -511,6 +608,7 @@ class FrontierCrawler:
         for depth in range(start_depth, cfg.depth_limit + 1):
             if pages_count >= budget:                      # :212
                 break
+            self._jobdesc(f"ss{depth}-attempt")
             t0 = time.time()
             remaining = budget - pages_count
 
@@ -654,6 +752,7 @@ class FrontierCrawler:
             # checkpoint. Durable runs (run_dir) still write everything —
             # resume needs the full state history.
             will_continue = depth < cfg.depth_limit and pages_count < budget
+            self._jobdesc(f"ss{depth}-state")
             t_state = time.time()
             bloom_next = (
                 self._advance_bloom(attempted.select("url"), seen_next)
@@ -718,6 +817,7 @@ class FrontierCrawler:
                 self._commit_superstep(depth)
 
         self.phase_walls["loop_ms"] = int((time.time() - t_loop) * 1000)
+        self._jobdesc("finalize")
         t_fin = time.time()
         out = self._finalize(all_pages, pages_count), seen
         self.phase_walls["finalize_ms"] = int((time.time() - t_fin) * 1000)

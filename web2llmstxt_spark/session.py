@@ -96,6 +96,14 @@ def get_spark(
             # pyarrow versions travel with it); don't trust the worker's PATH
             .config("spark.pyspark.python", sys.executable)
         )
+    # ad-hoc conf injection for experiments (event logs, codegen toggles)
+    # without touching call sites: SPARK_GRAFT_EXTRA_CONF='{"k":"v",...}'
+    env_extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_extra:
+        import json
+
+        for k, v in json.loads(env_extra).items():
+            builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -125,10 +133,13 @@ def run_jobs_concurrently(spark: SparkSession, thunks, pool_prefix: str = "overl
     def _run(arg):
         i, thunk = arg
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"{pool_prefix}{i}")
+        # thread-local: tag for event-log attribution (analyze_eventlog.py)
+        spark.sparkContext.setJobDescription(f"{pool_prefix}{i}")
         try:
             return thunk()
         finally:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+            spark.sparkContext.setJobDescription(None)
 
     with ThreadPoolExecutor(max_workers=max(1, len(thunks))) as ex:
         return list(ex.map(_run, enumerate(thunks)))
