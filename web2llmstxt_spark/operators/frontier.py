@@ -195,6 +195,21 @@ class ClosedFormFetcher:
             ]
         )
 
+        # Spread candidates across fetch workers BEFORE the narrow
+        # mapInPandas: candidates arrive as slim (url, meta) rows, so AQE
+        # sizes their post-shuffle partitions by PRE-fetch bytes and
+        # coalesces millions of them into a handful of partitions — the
+        # fetch (which fans each row out ~50x into spans/links/content)
+        # would then run near-serially and everything downstream of the
+        # attempt cache would inherit the same few fat partitions (measured:
+        # cf crawl 2x slower than the table join at 8 cores, ANTI-scaling to
+        # 32). An HTTP fetch scheduler does exactly this spread when it
+        # assigns URLs to fetcher workers. Round-robin, not hash: perfectly
+        # even load, and the url-hash locality the table join needed is
+        # irrelevant here.
+        n_fetch = int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        cand = cand.repartition(n_fetch)
+
         def gen(batches):
             # executors import from the shipped package zip
             from web2llmstxt_spark.sources import cfcorpus
