@@ -279,3 +279,51 @@ def test_fetch_url_hint_parity(spark):
     big_hint = urls + [f"https://pad.example/{i}" for i in range(TableFetcher.URL_HINT_MAX + 1)]
     over = {tuple(r) for r in fetcher.fetch(cand, url_hint=big_hint).select(*cols).collect()}
     assert over == plain
+
+
+def test_superstep_url_hint_taken_and_invariant(spark):
+    """Supersteps >= 1 push the attempt-URL list into the corpus scan
+    whenever the previous checkpoint's Observation proved the frontier
+    small (frontier.py _fetch_attempts). Assert (a) the hint path is
+    actually TAKEN at depth >= 1 — not just at depth 0 — and (b) a
+    hint-incapable fetcher (URL_HINT_MAX=0) crawls byte-identically, so
+    the pruning is pure scan optimization."""
+    from web2llmstxt_spark.operators.frontier import TableFetcher
+
+    corpus = generate_corpus(seed=47, n_hosts=2, pages_per_host=25)
+    seeds = [(sid, url) for sid, url, _ in corpus.seeds]
+    cfg = CrawlConfig(max_pages=12)
+    site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
+
+    class SpyFetcher(TableFetcher):
+        def __init__(self, site_df):
+            super().__init__(site_df)
+            self.hints = []   # one entry per fetch() call
+
+        def fetch(self, cand, url_hint=None):
+            self.hints.append(None if url_hint is None else len(url_hint))
+            return super().fetch(cand, url_hint=url_hint)
+
+    class NoHintFetcher(SpyFetcher):
+        URL_HINT_MAX = 0   # crawl() must fall through to the plain join
+
+    spy = SpyFetcher(site)
+    engine = FrontierCrawler(spark, site, cfg, robots_rules=corpus.robots_rules, fetcher=spy)
+    pages_df, seen_df = engine.crawl(seeds)
+    hinted_pages = [tuple(r) for r in pages_df.select(*PAGE_FIELDS).orderBy("rank").collect()]
+    hinted_seen = {r.url for r in seen_df.collect()}
+    assert len(spy.hints) >= 2, "expected a depth-0 fetch AND >=1 superstep fetch"
+    assert spy.hints[0] is not None, "depth-0 fetch must carry the seed hint"
+    assert any(h is not None for h in spy.hints[1:]), (
+        f"no superstep fetch carried a url_hint: {spy.hints}"
+    )
+
+    nohint = NoHintFetcher(site)
+    engine2 = FrontierCrawler(spark, site, cfg, robots_rules=corpus.robots_rules, fetcher=nohint)
+    pages2_df, seen2_df = engine2.crawl(seeds)
+    plain_pages = [tuple(r) for r in pages2_df.select(*PAGE_FIELDS).orderBy("rank").collect()]
+    assert all(h is None for h in nohint.hints[1:]), (
+        f"URL_HINT_MAX=0 fetcher still got a superstep hint: {nohint.hints}"
+    )
+    assert hinted_pages == plain_pages
+    assert hinted_seen == {r.url for r in seen2_df.collect()}

@@ -58,6 +58,23 @@ from . import bloom, ranking
 #: above it the join falls back to a hash shuffle (10^10-frontier safe)
 BROADCAST_RANK_MAX = 4_000_000
 
+#: incremental-state crawls union one cached delta per superstep; past this
+#: many parts the union is compacted into a single checkpoint so plan width
+#: and per-scan task counts stay bounded on deep / auto-batched crawls
+STATE_COMPACT_PARTS = 32
+
+
+def _union_parts(parts: list[DataFrame]) -> DataFrame:
+    """Lazy union of individually-materialized state parts (append-only
+    tables: seen = depth-0 checkpoint + one cached attempt set per
+    superstep; frontier = depth-0 checkpoint + one checkpointed fresh-link
+    delta per superstep). Scanning the union costs the same as scanning one
+    checkpointed table of the same rows; building it writes nothing."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
 
 @pandas_udf(StringType())
 def base_domain_udf(base_urls: pd.Series) -> pd.Series:
@@ -397,6 +414,49 @@ class FrontierCrawler:
                                     self.salt_hosts)
         return bloom.merge_bitmaps(self._bloom, delta)
 
+    def _fetch_attempts(
+        self, todo: DataFrame, bound: int | None, materialized: bool = False
+    ) -> DataFrame:
+        """Adaptive scan-pruned fetch for supersteps >= 1.
+
+        The depth-0 fetch already pushes the seed list into the corpus scan
+        as an In-predicate (the seed set is the crawl's input, known
+        driver-side). Later supersteps normally can't: the attempt set is
+        distributed. But whenever the attempt set is PROVABLY small — the
+        previous state checkpoint's Observation bounded |frontier| (and
+        cand ⊆ frontier), or the budget cut just counted cand — it is
+        cheaper to materialize the candidate chain once (one tiny job),
+        ship the <= URL_HINT_MAX urls to the driver, and let the fetcher
+        prune its corpus scan, than to stream the full documents table
+        through the fetch join. That per-superstep O(|corpus|) stream is the
+        measured table-mode scaling ceiling (BENCH_SCALING.md round-4:
+        ~17 s/superstep at BOTH cluster sizes for a 2,718-URL superstep on
+        the 6.4 M-page corpus); with the hint such supersteps touch only
+        the columnar batches / row groups whose min-max straddle an
+        attempted url. Same Iceberg-metadata-lookup analogy as depth 0, and
+        semantics-free for the same reason (the scan keeps a superset of
+        the left side's join keys).
+
+        `bound` None or > URL_HINT_MAX, or a fetcher with no scan
+        (ClosedFormFetcher, HTTP), falls through to the plain fetch —
+        zero extra jobs on that path.
+        """
+        f = self.fetcher
+        hint_max = getattr(f, "URL_HINT_MAX", 0)
+        if not (
+            getattr(f, "supports_url_hint", False)
+            and hint_max
+            and bound is not None
+            and 0 < bound <= hint_max
+        ):
+            return f.fetch(todo)
+        if not materialized:
+            todo = todo.localCheckpoint(eager=True)
+        urls = [r[0] for r in todo.select("url").collect()]
+        if not urls:
+            return f.fetch(todo)
+        return f.fetch(todo, url_hint=urls)
+
     def _checkpoint_state(self, seen_df: DataFrame, frontier_df: DataFrame,
                           bloom_df: DataFrame | None, tag) -> tuple:
         """ONE combined checkpoint job for all superstep state (seen +
@@ -458,6 +518,58 @@ class FrontierCrawler:
                 self._bloom_rebuild_pending = True
         frontier_count = int(m["frontier_n"]) if m.get("frontier_n") is not None else 0
         return seen, frontier, bloom_state, frontier_count
+
+    def _checkpoint_delta(self, fresh_df: DataFrame, bloom_df: DataFrame | None,
+                          tag) -> tuple:
+        """Incremental counterpart of _checkpoint_state: ONE combined job
+        materializing only this superstep's frontier delta (`fresh` —
+        already anti-joined disjoint from the live frontier) plus the Bloom
+        bitmap state, with an Observation returning |fresh| and the max
+        per-bucket Bloom key count. The seen delta needs NO job at all: it
+        is exactly the attempt set, which this superstep's stats action
+        already materialized into the cache.
+
+        Returns (fresh_ckpt, bloom_state, fresh_count).
+        """
+        parts = fresh_df.select(
+            F.lit("frontier").alias("kind"),
+            "url", "seed_id", "base_url", "base_domain",
+            F.lit(None).cast("int").alias("bucket"),
+            F.lit(None).cast("binary").alias("bitmap"),
+            F.lit(None).cast("long").alias("n_keys"),
+        )
+        if bloom_df is not None:
+            parts = parts.unionByName(
+                bloom_df.select(
+                    F.lit("bloom").alias("kind"),
+                    F.lit(None).cast("string").alias("url"),
+                    F.lit(None).cast("int").alias("seed_id"),
+                    F.lit(None).cast("string").alias("base_url"),
+                    F.lit(None).cast("string").alias("base_domain"),
+                    "bucket", "bitmap", "n_keys",
+                )
+            )
+        obs = Observation(f"delta_{self.run_id}_{tag}")
+        parts = parts.observe(
+            obs,
+            F.sum(F.when(F.col("kind") == "frontier", 1).otherwise(0)).alias("fresh_n"),
+            F.max(F.when(F.col("kind") == "bloom", F.col("n_keys"))).alias("bloom_max_keys"),
+        )
+        state = parts.localCheckpoint(eager=True, storageLevel=CACHE_LEVEL)
+        m = obs.get
+        fresh_ckpt = state.filter(F.col("kind") == "frontier").select(
+            "url", "seed_id", "base_url", "base_domain"
+        )
+        bloom_state = None
+        if bloom_df is not None:
+            bloom_state = state.filter(F.col("kind") == "bloom").select(
+                "bucket", "bitmap", "n_keys"
+            )
+            mk = m.get("bloom_max_keys")
+            if mk is not None and bloom.needs_rebuild(int(mk), self.bloom_m_bits):
+                self._bloom_rebuild_pending = True
+        fresh_n = int(m["fresh_n"]) if m.get("fresh_n") is not None else 0
+        return fresh_ckpt, bloom_state, fresh_n
 
     # --------------------------------------------------------- distributed rank
     def _with_global_rank(self, df: DataFrame, order, rank_col: str,
@@ -618,6 +730,10 @@ class FrontierCrawler:
             all_pages = [pages]
 
         self.phase_walls["depth0_ms"] = int((time.time() - t_crawl) * 1000)
+        # append-only state parts for the in-memory incremental advance
+        # (durable runs keep full per-superstep snapshots for resume instead)
+        seen_parts: list[DataFrame] = [seen]
+        frontier_parts: list[DataFrame] = [frontier]
         t_loop = time.time()
         # --- supersteps (ref :211-246 (pyc)) --------------------------------
         for depth in range(start_depth, cfg.depth_limit + 1):
@@ -682,7 +798,9 @@ class FrontierCrawler:
                 # crosses the rank's range shuffle or checkpoint; the join
                 # reuses the fetch join's url partitioning, so only the
                 # (url, __cum_before) table shuffles.
-                fetched_cache = self.fetcher.fetch(cand).persist(CACHE_LEVEL)
+                fetched_cache = self._fetch_attempts(
+                    cand, frontier_count
+                ).persist(CACHE_LEVEL)
                 appended = F.col("success") & (F.col("wc") >= 50)
                 slim = fetched_cache.select("url", "score", "success", "wc")
                 ranked = self._with_global_rank(
@@ -700,16 +818,22 @@ class FrontierCrawler:
                 # |frontier| <= remaining the cut CANNOT bite and the whole
                 # count/checkpoint detour is skipped (zero extra jobs on the
                 # common path).
+                todo_bound: int | None = None   # proven |todo| upper bound
+                todo_materialized = False
                 if frontier_count is not None and frontier_count <= remaining:
                     todo = cand
+                    todo_bound = frontier_count   # cand ⊆ frontier
                 else:
                     cand = cand.localCheckpoint(eager=True)
-                    if cand.count() > remaining:
+                    n_cand = cand.count()
+                    if n_cand > remaining:
                         ranked = self._with_global_rank(cand, order, "__r")
                         todo = ranked.filter(F.col("__r") <= remaining).drop("__r")
                     else:
                         todo = cand
-                attempted = self.fetcher.fetch(todo)
+                        todo_bound = n_cand
+                        todo_materialized = True
+                attempted = self._fetch_attempts(todo, todo_bound, todo_materialized)
             attempted = attempted.persist(CACHE_LEVEL)
             # the ONE action of this superstep: materializes the whole chain
             # (anti-join/bloom, scoring, sort, budget cut, fetch) into the
@@ -746,6 +870,7 @@ class FrontierCrawler:
             # per-superstep shuffle for an invariant that already holds.
             seen_next = seen.unionByName(attempted.select("url"))
             frontier_next = frontier
+            fresh = None
             if depth < cfg.depth_limit:                   # Q7: last depth no expand
                 links = self._new_links(
                     new_pages.select("url").join(
@@ -782,14 +907,42 @@ class FrontierCrawler:
                 if bloom_next is not None:
                     self._bloom = bloom_next.localCheckpoint(eager=True)
             elif will_continue:
-                # ONE combined checkpoint job for ALL state tables (seen +
-                # frontier + Bloom bitmaps share a 'kind' discriminator) with
-                # an Observation returning |frontier| for free; pages stay
-                # lazy on the cached attempt set and materialize once at the
-                # end — 2 jobs per superstep total on the common path
-                seen, frontier, self._bloom, frontier_count = self._checkpoint_state(
-                    seen_next, frontier_next, bloom_next, depth
+                # INCREMENTAL state advance, O(|delta|) per superstep: both
+                # state tables are append-only (seen grows by exactly this
+                # superstep's attempt set, which is ALREADY cached; frontier
+                # by `fresh`, already anti-joined disjoint), so only the
+                # frontier delta + Bloom bitmaps are checkpointed — ONE
+                # combined job with an Observation returning |fresh| for
+                # free — and the live tables become lazy unions of cached
+                # parts. The previous design re-checkpointed the FULL
+                # seen+frontier every superstep: O(|state|) memory-bus
+                # read+write per superstep, the `ss-state` term the round-4
+                # scaling decomposition measured at eff 0.78 (BENCH_
+                # SCALING.md). Reads over the union cost the same as over
+                # one table (each part is individually materialized; the
+                # columnar cache still prunes to `url`); writes drop from
+                # cumulative-state size to delta size. Compacted back into
+                # one checkpoint every STATE_COMPACT_PARTS supersteps so
+                # plan width stays bounded on deep/auto-batched crawls.
+                seen_parts.append(attempted.select("url"))
+                fresh_ckpt, self._bloom, fresh_n = self._checkpoint_delta(
+                    fresh, bloom_next, depth
                 )
+                frontier_parts.append(fresh_ckpt)
+                if frontier_count is not None:
+                    frontier_count += fresh_n
+                if len(frontier_parts) > STATE_COMPACT_PARTS:
+                    seen, frontier, self._bloom, frontier_count = (
+                        self._checkpoint_state(
+                            _union_parts(seen_parts), _union_parts(frontier_parts),
+                            self._bloom, f"{depth}c",
+                        )
+                    )
+                    seen_parts = [seen]
+                    frontier_parts = [frontier]
+                else:
+                    seen = _union_parts(seen_parts)
+                    frontier = _union_parts(frontier_parts)
                 new_pages = new_pages.persist(CACHE_LEVEL)
             else:
                 # exiting: seen stays lazy on (checkpointed seen ∪ cached
