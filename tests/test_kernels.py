@@ -255,3 +255,42 @@ class TestHashing:
     def test_stable_hash_is_deterministic(self):
         assert K.stable_hash64("ex.com") == K.stable_hash64("ex.com")
         assert 0 <= K.host_bucket("ex.com", 32) < 32
+
+
+class TestScoreUrlV1:
+    # one case per branch of the v1 source scorer, crawler/web_crawler.py:150-189
+    def test_asset_returns_zero(self):
+        assert K.score_url_importance_v1(f"{BASE}/logo.PNG") == 0.0
+
+    def test_base_case(self):
+        # no keywords, depth 3 ('https:','','ex.com','x') -> just base 1.0
+        assert K.score_url_importance_v1(f"{BASE}/x") == 1.0
+
+    def test_high_value(self):
+        assert K.score_url_importance_v1(f"{BASE}/docs") == 3.0
+
+    def test_high_and_medium_both_add(self):
+        # v1 uses independent ifs (NOT elif like v2): docs +2.0 AND faq +1.0
+        assert K.score_url_importance_v1(f"{BASE}/docs/faq") == 4.0
+
+    def test_medium_only(self):
+        assert K.score_url_importance_v1(f"{BASE}/faq") == 2.0
+
+    def test_deep_path_penalty(self):
+        # 7 slashes -> depth 5 -> -(5-3)*0.5 = -1.0
+        assert K.score_url_importance_v1(f"{BASE}/a/b/c/d/e") == 0.1  # floored: 1.0-1.0=0 -> 0.1
+
+    def test_deep_path_partial(self):
+        # depth 4 -> -0.5; with a high keyword: 1+2-0.5
+        assert K.score_url_importance_v1(f"{BASE}/docs/a/b/c") == 2.5
+
+    def test_long_query_penalty(self):
+        s = K.score_url_importance_v1(f"{BASE}/x?verylongquery=1")
+        assert s == 0.1  # 1.0 - 2.0 floored
+
+    def test_double_question_mark_quirk(self):
+        # split('?')[1] is BETWEEN the two '?'s: 'ab' (len 2) -> no penalty
+        assert K.score_url_importance_v1(f"{BASE}/x?ab?longtailsegment") == 1.0
+
+    def test_floor(self):
+        assert K.score_url_importance_v1(f"{BASE}/a/b/c/d/e/f/g/h/i/j") >= 0.1

@@ -232,3 +232,57 @@ def test_ivf_index_save_load_roundtrip(spark, tmp_path, monkeypatch):
     index.unpersist()
     reopened.unpersist()
     emb.unpersist()
+
+
+def test_score_url_v1_kernel_native_parity(spark):
+    """C2 three-way closure: kernels.score_url_importance_v1 (Python) ==
+    native.score_url_v1_native (JVM) on branch-covering URLs, including the
+    double-'?' split quirk both engines must share (the DuckDB twin is
+    covered by test_query_matches_oracle[frontier_topk_v1])."""
+    import pyspark.sql.functions as F
+
+    from web2llmstxt_spark.functions import kernels, native
+
+    urls = [
+        "https://ex.com/logo.png",
+        "https://ex.com/x",
+        "https://ex.com/docs",
+        "https://ex.com/docs/faq",
+        "https://ex.com/faq",
+        "https://ex.com/a/b/c/d/e",
+        "https://ex.com/docs/a/b/c",
+        "https://ex.com/x?verylongquery=1",
+        "https://ex.com/x?ab?longtailsegment",
+        "https://ex.com/x?longtailsegment?ab",
+        "https://ex.com/a/b/c/d/e/f/g/h/i/j",
+        "https://ex.com/",
+        "https://EX.com/DOCS",
+    ]
+    sdf = spark.createDataFrame([(u,) for u in urls], "url string").withColumn(
+        "s", native.score_url_v1_native(F.col("url"))
+    )
+    got = {r.url: r.s for r in sdf.collect()}
+    want = {u: kernels.score_url_importance_v1(u) for u in urls}
+    assert got == pytest.approx(want)
+
+
+def test_score_url_v2_double_qmark_parity(spark):
+    """The v2 scorer's query-penalty segment is url.split('?')[1] — BETWEEN
+    the first and second '?'. Pins the native split(limit=-1) fix on URLs
+    where limit=2 diverged."""
+    import pyspark.sql.functions as F
+
+    from web2llmstxt_spark.functions import kernels, native
+
+    base = "https://ex.com"
+    urls = [
+        f"{base}/x?ab?longtailsegment",     # short mid-segment: no penalty
+        f"{base}/x?longtailsegment?ab",     # long mid-segment: penalty
+        f"{base}/x?plainlongquery=aaaa",    # single '?': penalty
+    ]
+    sdf = spark.createDataFrame([(u,) for u in urls], "url string").withColumn(
+        "s", native.score_url_native(F.col("url"), F.lit(base))
+    )
+    got = {r.url: r.s for r in sdf.collect()}
+    want = {u: kernels.score_url_importance(u, base) for u in urls}
+    assert got == pytest.approx(want)

@@ -125,6 +125,52 @@ def score_url_importance(url: str, base_url: str) -> float:
     return max(0.1, score)
 
 
+#: Keyword tiers of the v1 importance scorer (top-level source variant).
+#: Ref: crawler/web_crawler.py:161-174 (verbatim const lists).
+V1_HIGH_VALUE_KEYWORDS = (
+    "documentation", "docs", "guide", "tutorial", "api", "reference",
+    "blog", "article", "news", "feature", "product", "service",
+    "about", "contact", "help", "support", "changelog", "release",
+    "tools", "resources", "pricing", "plans", "download", "install",
+)
+V1_MEDIUM_VALUE_KEYWORDS = ("learn", "faq", "getting-started", "overview", "intro")
+
+
+def score_url_importance_v1(url: str, base_url: str = "") -> float:
+    """The v1 ``WebCrawler._score_url_importance`` variant (C2) — the
+    top-level-source scorer with DIFFERENT constants from the v2 gold path.
+    Ref: crawler/web_crawler.py:150-189 (source, line-exact):
+
+    - start 1.0; asset extension -> return 0.0 immediately
+    - +2.0 if any of 24 high-value keywords in url.lower()
+    - +1.0 ADDITIONALLY if any of 5 medium keywords (independent ifs,
+      NOT elif — unlike v2)
+    - -0.5 x (depth-3) where depth = url.count('/') - 2, only past depth 3
+      (``base_url`` is ignored: v1 counts slashes on the raw url)
+    - -2.0 if '?' in url and len(url.split('?')[1]) > 10
+    - floor at 0.1
+
+    NOT wired into the crawl paths: mixing these constants with the v2 gold
+    scorer would corrupt crawl-order parity (SURVEY §2.4). Exposed as an
+    opt-in scoring variant with JVM + DuckDB twins (native.score_url_v1_*)
+    and a driver-checked query row.
+    """
+    score = 1.0
+    url_lower = url.lower()
+    if any(url_lower.endswith(ext) for ext in ASSET_EXTENSIONS):
+        return 0.0
+    if any(k in url_lower for k in V1_HIGH_VALUE_KEYWORDS):
+        score += 2.0
+    if any(k in url_lower for k in V1_MEDIUM_VALUE_KEYWORDS):
+        score += 1.0
+    path_depth = url.count("/") - 2
+    if path_depth > 3:
+        score -= (path_depth - 3) * 0.5
+    if "?" in url and len(url.split("?")[1]) > 10:
+        score -= 2.0
+    return max(0.1, score)
+
+
 def extract_domain_from_url(url: str) -> str:
     """Filename-safe domain. Ref: llmsgen/utils/text_utils.py:106-135."""
     try:

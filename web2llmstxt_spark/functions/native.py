@@ -71,12 +71,46 @@ def score_url_native(url: Column, base_url: Column) -> Column:
         url.contains("?page=") | url.contains("&page=") | url.contains("/page/"),
         F.lit(-3.0),
     ).otherwise(F.lit(0.0))
-    after_q = F.get(F.split(url, r"\?", 2), 1)
+    # limit -1 (not 2): the kernel's url.split('?')[1] is the segment
+    # BETWEEN the first and second '?', not everything after the first —
+    # they differ only on double-'?' URLs, where limit 2 silently broke
+    # kernel/native/DuckDB three-way parity
+    after_q = F.get(F.split(url, r"\?", -1), 1)
     query_pen = F.when(
         url.contains("?") & (F.length(after_q) > 10), F.lit(-2.0)
     ).otherwise(F.lit(0.0))
 
     score = F.lit(1.0) + kw + low + seg_tier + alpha + page_pen + query_pen
+    return F.when(is_asset, F.lit(0.0)).otherwise(F.greatest(F.lit(0.1), score))
+
+
+def score_url_v1_native(url: Column) -> Column:
+    """Column-algebra twin of kernels.score_url_importance_v1 (C2, the v1
+    source-variant scorer — opt-in, never mixed into the v2 gold path).
+
+    Ref: crawler/web_crawler.py:150-189.
+    """
+    ul = F.lower(url)
+    is_asset = ul.rlike(
+        "(" + "|".join(_re.escape(e) for e in kernels.ASSET_EXTENSIONS) + ")$"
+    )
+    high = F.when(
+        _contains_any(ul, kernels.V1_HIGH_VALUE_KEYWORDS), F.lit(2.0)
+    ).otherwise(F.lit(0.0))
+    med = F.when(
+        _contains_any(ul, kernels.V1_MEDIUM_VALUE_KEYWORDS), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    # url.count('/') == size(split(url, '/', -1)) - 1; depth counts past
+    # protocol+domain
+    depth = F.size(F.split(url, "/", -1)) - F.lit(3)
+    depth_pen = F.when(
+        depth > 3, (depth - F.lit(3)).cast("double") * F.lit(-0.5)
+    ).otherwise(F.lit(0.0))
+    after_q = F.get(F.split(url, r"\?", -1), 1)  # same double-'?' quirk as v2
+    query_pen = F.when(
+        url.contains("?") & (F.length(after_q) > 10), F.lit(-2.0)
+    ).otherwise(F.lit(0.0))
+    score = F.lit(1.0) + high + med + depth_pen + query_pen
     return F.when(is_asset, F.lit(0.0)).otherwise(F.greatest(F.lit(0.1), score))
 
 
@@ -213,6 +247,25 @@ def score_url_sql(url_expr: str, base_sql: str) -> str:
         f"      WHEN {n} <= 2 THEN 1.5 WHEN {n} > 4 THEN -1.0 ELSE 0.0 END)"
         f" + (CASE WHEN {alpha} THEN 1.0 ELSE 0.0 END)"
         f" + (CASE WHEN {page} THEN -3.0 ELSE 0.0 END)"
+        f" + (CASE WHEN {query_pen} THEN -2.0 ELSE 0.0 END)"
+    )
+    return f"(CASE WHEN {asset} THEN 0.0 ELSE greatest(0.1, {score}) END)"
+
+
+def score_url_v1_sql(url_expr: str) -> str:
+    """DuckDB SQL expression computing kernels.score_url_importance_v1 (C2)."""
+    ul = f"lower({url_expr})"
+    asset = "(" + " OR ".join(f"{ul} LIKE '%{e}'" for e in kernels.ASSET_EXTENSIONS) + ")"
+    high = _sql_contains_any(ul, kernels.V1_HIGH_VALUE_KEYWORDS)
+    med = _sql_contains_any(ul, kernels.V1_MEDIUM_VALUE_KEYWORDS)
+    # url.count('/') == len(string_split(url, '/')) - 1; depth past proto+domain
+    depth = f"(len(string_split({url_expr}, '/')) - 3)"
+    after_q = f"string_split({url_expr}, '?')[2]"  # Python split('?')[1]
+    query_pen = f"(contains({url_expr}, '?') AND len({after_q}) > 10)"
+    score = (
+        f"1.0 + (CASE WHEN {high} THEN 2.0 ELSE 0.0 END)"
+        f" + (CASE WHEN {med} THEN 1.0 ELSE 0.0 END)"
+        f" + (CASE WHEN {depth} > 3 THEN -({depth} - 3) * 0.5 ELSE 0.0 END)"
         f" + (CASE WHEN {query_pen} THEN -2.0 ELSE 0.0 END)"
     )
     return f"(CASE WHEN {asset} THEN 0.0 ELSE greatest(0.1, {score}) END)"

@@ -96,6 +96,30 @@ def sql_frontier_topk():
     """
 
 
+def q_frontier_topk_v1(spark, sf_dir):
+    """C2: the v1 source-variant URL scorer (crawler/web_crawler.py:150-189)
+    as the same frontier-ordering plan as frontier_topk. Opt-in variant —
+    never mixed with the v2 gold constants inside one crawl (SURVEY §2.4)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(synth_url_col().alias("url"))
+        .withColumn("score", native.score_url_v1_native(F.col("url")))
+        .filter(F.col("score") > 1.0)  # P8 threshold
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(100)
+    )
+
+
+def sql_frontier_topk_v1():
+    score = native.score_url_v1_sql("url")
+    return f"""
+        WITH u AS (SELECT {SYNTH_URL_SQL} AS url FROM documents),
+        s AS (SELECT url, {score} AS score FROM u)
+        SELECT url, score FROM s WHERE score > 1.0
+        ORDER BY score DESC, url ASC LIMIT 100
+    """
+
+
 def q_bestfirst_order(spark, sf_dir):
     """C3 stand-in: BestFirst keyword-relevance ordering (the priority that
     drives operators/bestfirst.py) — hit count, hit-fraction score, top-50.
@@ -1104,6 +1128,7 @@ def sql_politeness_cap():
 REGISTRY: dict[str, tuple] = {
     # name: (spark_builder, oracle_sql_builder or None)
     "frontier_topk": (q_frontier_topk, sql_frontier_topk),
+    "frontier_topk_v1": (q_frontier_topk_v1, sql_frontier_topk_v1),
     "bestfirst_order": (q_bestfirst_order, sql_bestfirst_order),
     "seen_antijoin": (q_seen_antijoin, sql_seen_antijoin),
     "sitemap_order": (q_sitemap_order, sql_sitemap_order),
