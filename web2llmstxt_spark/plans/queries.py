@@ -1125,6 +1125,59 @@ def sql_politeness_cap():
     """
 
 
+def q_pagination_discover(spark, sf_dir):
+    """L2 on the driver surface: pagination discovery over deterministic
+    per-doc HTML (one exemplar per pattern group — rel=next anchor, a
+    '.pagination' numbered pager, a button[data-url] load-more, a search
+    form, plus '#'/javascript:/off-domain anchors that must be REJECTED),
+    with the base URL shaped to take the L3 probe branch (?page=2..5,
+    ?p=2..5). Ref: crawler/web_crawler.py:524-632 (discovery-only — the
+    reference never enqueues these, quirk Q3); oracle is the closed-form
+    expected set of the same template. Vectorized pandas UDF, exploded."""
+    from ..functions.pagination import discover_pagination_udf
+
+    docs = load(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("https://ex"), (F.col("doc_id") % 5).cast("string"), F.lit(".com"))
+    host = F.concat(F.lit("ex"), (F.col("doc_id") % 5).cast("string"), F.lit(".com"))
+    page_url = F.concat(base, F.lit("/blog-"), k)
+    html = F.concat(
+        F.lit('<nav class="pagination"><a href="/list?page='),
+        (F.col("doc_id") + 2).cast("string"),
+        F.lit('">Next</a><a href="#">n</a><a href="javascript:void(0)">Next</a></nav>'),
+        F.lit('<a rel="next" href="/n/'), k, F.lit('">go</a>'),
+        F.lit('<a class="page-numbers" href="https://other.org/page/9/x">7</a>'),
+        F.lit('<button data-url="/load-'), k, F.lit('">Load</button>'),
+        F.lit('<form action="/search?q='), k, F.lit('"></form>'),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            discover_pagination_udf(html, page_url, host).alias("urls"),
+        )
+        .select("doc_id", F.explode("urls").alias("url"))
+    )
+
+
+def sql_pagination_discover():
+    return """
+        WITH d AS (
+            SELECT doc_id, 'https://ex' || (doc_id % 5) || '.com' AS b
+            FROM documents)
+        SELECT doc_id, url FROM (
+            SELECT doc_id, b || '/n/' || doc_id AS url FROM d
+            UNION ALL SELECT doc_id, b || '/list?page=' || (doc_id + 2) FROM d
+            UNION ALL SELECT doc_id, b || '/load-' || doc_id FROM d
+            UNION ALL SELECT doc_id, b || '/search?q=' || doc_id FROM d
+            UNION ALL
+            SELECT doc_id, b || '/blog-' || doc_id || '?' || p.param || '=' || n.n
+            FROM d
+            CROSS JOIN (VALUES ('page'), ('p')) AS p(param)
+            CROSS JOIN (VALUES (2), (3), (4), (5)) AS n(n)
+        )
+    """
+
+
 REGISTRY: dict[str, tuple] = {
     # name: (spark_builder, oracle_sql_builder or None)
     "frontier_topk": (q_frontier_topk, sql_frontier_topk),
@@ -1159,5 +1212,6 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, sql_media_features),
     "span_roundtrip": (q_span_roundtrip, sql_span_roundtrip),
     "robots_filter": (q_robots_filter, sql_robots_filter),
+    "pagination_discover": (q_pagination_discover, sql_pagination_discover),
     "politeness_cap": (q_politeness_cap, sql_politeness_cap),
 }
