@@ -220,3 +220,19 @@ def bloom_prefilter(cand: DataFrame, seen: DataFrame, num_buckets: int) -> DataF
     m_bits = max(1024, int(math.ceil(n * BITS_PER_KEY / 8)) * 8) if n else 1024
     state = merge_bitmaps(None, delta_bitmaps(seen, num_buckets, m_bits))
     return prefilter_with_state(cand, state, seen, num_buckets)
+
+
+# ------------------------------------------------- generic filter interface
+# Shared with operators/cuckoo.py so FrontierCrawler can dispatch either
+# membership filter through one name set (north rule: "Bloom/cuckoo").
+
+def delta_state(urls: DataFrame, num_buckets: int, m_bits: int = DEFAULT_M_BITS,
+                salt_hosts: dict | None = None) -> DataFrame:
+    return delta_bitmaps(urls, num_buckets, m_bits, salt_hosts)
+
+
+def merge_state(state: DataFrame | None, delta: DataFrame,
+                m_bits: int | None = None) -> DataFrame:
+    # bitmaps already carry their geometry; m_bits accepted for interface
+    # parity with cuckoo.merge_state (which sizes fresh tables from it)
+    return merge_bitmaps(state, delta)

@@ -287,6 +287,7 @@ class FrontierCrawler:
         run_dir: str | None = None,
         num_buckets: int = 32,
         use_bloom: bool = True,
+        seen_filter: str = "bloom",
         use_native_scorer: bool = True,
         run_id: str = "run",
         fetcher=None,
@@ -301,6 +302,18 @@ class FrontierCrawler:
         self.run_dir = run_dir
         self.num_buckets = num_buckets
         self.use_bloom = use_bloom
+        # which approximate-membership filter pre-screens the seen anti-join
+        # (north rule: "Bloom/cuckoo"). Both expose the same delta/merge/
+        # probe/prefilter interface and the same no-false-negative contract;
+        # cuckoo additionally supports deletion (cuckoo.delete_urls).
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
+        self.seen_filter = seen_filter
+        if seen_filter == "cuckoo":
+            from . import cuckoo as _filter_mod
+        else:
+            _filter_mod = bloom
+        self._filter_mod = _filter_mod
         # north-rule skew salting: skewed host -> fan-out k; threaded through
         # every Bloom bucket derivation (operators/bloom._bucket_col) so one
         # mega-host's URLs spread over k partitions on both the bitmap and
@@ -405,14 +418,14 @@ class FrontierCrawler:
                 self.bloom_m_bits *= 2
                 self.bloom_rebuilds += 1
             self._bloom_rebuild_pending = False
-            return bloom.merge_bitmaps(
-                None, bloom.delta_bitmaps(seen_next, self.num_buckets, self.bloom_m_bits,
+            return self._filter_mod.merge_state(
+                None, self._filter_mod.delta_state(seen_next, self.num_buckets, self.bloom_m_bits,
                                     self.salt_hosts)
             )
         self.bloom_deltas += 1
-        delta = bloom.delta_bitmaps(attempted_urls, self.num_buckets, self.bloom_m_bits,
+        delta = self._filter_mod.delta_state(attempted_urls, self.num_buckets, self.bloom_m_bits,
                                     self.salt_hosts)
-        return bloom.merge_bitmaps(self._bloom, delta)
+        return self._filter_mod.merge_state(self._bloom, delta, self.bloom_m_bits)
 
     def _fetch_attempts(
         self, todo: DataFrame, bound: int | None, materialized: bool = False
@@ -514,7 +527,7 @@ class FrontierCrawler:
                 "bucket", "bitmap", "n_keys"
             )
             mk = m.get("bloom_max_keys")
-            if mk is not None and bloom.needs_rebuild(int(mk), self.bloom_m_bits):
+            if mk is not None and self._filter_mod.needs_rebuild(int(mk), self.bloom_m_bits):
                 self._bloom_rebuild_pending = True
         frontier_count = int(m["frontier_n"]) if m.get("frontier_n") is not None else 0
         return seen, frontier, bloom_state, frontier_count
@@ -566,7 +579,7 @@ class FrontierCrawler:
                 "bucket", "bitmap", "n_keys"
             )
             mk = m.get("bloom_max_keys")
-            if mk is not None and bloom.needs_rebuild(int(mk), self.bloom_m_bits):
+            if mk is not None and self._filter_mod.needs_rebuild(int(mk), self.bloom_m_bits):
                 self._bloom_rebuild_pending = True
         fresh_n = int(m["fresh_n"]) if m.get("fresh_n") is not None else 0
         return fresh_ckpt, bloom_state, fresh_n
@@ -667,10 +680,11 @@ class FrontierCrawler:
             if frontier is None or last >= cfg.depth_limit:
                 return self._finalize(all_pages, pages_count), seen
             start_depth = last + 1
-            if self.use_bloom:  # resume: rebuild bitmaps from seen ONCE
-                self._bloom = bloom.merge_bitmaps(
-                    None, bloom.delta_bitmaps(seen, self.num_buckets, self.bloom_m_bits,
-                                        self.salt_hosts)
+            if self.use_bloom:  # resume: rebuild filter state from seen ONCE
+                self._bloom = self._filter_mod.merge_state(
+                    None, self._filter_mod.delta_state(seen, self.num_buckets, self.bloom_m_bits,
+                                        self.salt_hosts),
+                    self.bloom_m_bits,
                 ).localCheckpoint(eager=True)
         elif self.run_dir is not None:
             main0 = main0.persist(CACHE_LEVEL)
@@ -700,9 +714,10 @@ class FrontierCrawler:
             self._commit_superstep(0)
             all_pages = [pages]
             if self.use_bloom:
-                self._bloom = bloom.merge_bitmaps(
-                    None, bloom.delta_bitmaps(seen, self.num_buckets, self.bloom_m_bits,
-                                        self.salt_hosts)
+                self._bloom = self._filter_mod.merge_state(
+                    None, self._filter_mod.delta_state(seen, self.num_buckets, self.bloom_m_bits,
+                                        self.salt_hosts),
+                    self.bloom_m_bits,
                 ).localCheckpoint(eager=True)
         else:
             main0 = main0.persist(CACHE_LEVEL)
@@ -715,9 +730,16 @@ class FrontierCrawler:
                 # salt_hosts MUST reach the build side too: a salted seed
                 # host's bits must land in the same bucket the probe reads,
                 # else depth-0 URLs become Bloom false negatives (re-crawled)
-                bloom0 = bloom.delta_bitmaps(
-                    pages.select("url"), self.num_buckets, self.bloom_m_bits,
-                    self.salt_hosts
+                # merged (not raw-delta) form: the checkpoint stores these
+                # rows as probe-able state, and a cuckoo delta (packed
+                # hashes) only becomes a table through merge_state
+                bloom0 = self._filter_mod.merge_state(
+                    None,
+                    self._filter_mod.delta_state(
+                        pages.select("url"), self.num_buckets, self.bloom_m_bits,
+                        self.salt_hosts,
+                    ),
+                    self.bloom_m_bits,
                 )
             self._jobdesc("d0-state")
             t_d0s = time.time()
@@ -746,7 +768,7 @@ class FrontierCrawler:
             if self.use_bloom:
                 # Bloom fast path + exact check on maybes == exact anti-join;
                 # bitmaps are accumulated state, NOT rebuilt from seen
-                cand = bloom.prefilter_with_state(
+                cand = self._filter_mod.prefilter_with_state(
                     frontier, self._bloom, seen, self.num_buckets, self.salt_hosts
                 )
             else:

@@ -1125,6 +1125,49 @@ def sql_politeness_cap():
     """
 
 
+def q_seen_antijoin_cuckoo(spark, sf_dir):
+    """J1 via the CUCKOO membership filter (operators/cuckoo.py — the north
+    rule's second 'Bloom/cuckoo' option): customers with no orders, computed
+    as cuckoo-prefilter + exact back-join on 'maybe seen' survivors. The
+    composition is provably equal to the plain LEFT ANTI JOIN (no false
+    negatives), which this driver row hash-checks against the same DuckDB
+    oracle as `seen_antijoin`."""
+    from ..operators import cuckoo
+
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    mkurl = lambda k: F.concat(  # noqa: E731 — spread keys over 16 hosts
+        F.lit("https://cust"), F.pmod(k, F.lit(16)).cast("string"),
+        F.lit(".example/c/"), k.cast("string"),
+    )
+    cand = customer.select(
+        mkurl(F.col("c_custkey")).alias("url"), "c_custkey", "c_name"
+    )
+    # urgent orders only: keeps the result set NONEMPTY at sf0.01 (customers
+    # with no orders is empty there) so the hash check exercises real rows
+    seen = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(mkurl(F.col("o_custkey")).alias("url"))
+        .distinct()
+    )
+    m_bits = 1 << 17
+    state = cuckoo.merge_state(
+        None, cuckoo.delta_state(seen, num_buckets=16, m_bits=m_bits), m_bits
+    )
+    return cuckoo.prefilter_with_state(cand, state, seen, num_buckets=16).select(
+        "c_custkey", "c_name"
+    )
+
+
+def sql_seen_antijoin_cuckoo():
+    return """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+    """
+
+
 def q_pagination_discover(spark, sf_dir):
     """L2 on the driver surface: pagination discovery over deterministic
     per-doc HTML (one exemplar per pattern group — rel=next anchor, a
@@ -1184,6 +1227,7 @@ REGISTRY: dict[str, tuple] = {
     "frontier_topk_v1": (q_frontier_topk_v1, sql_frontier_topk_v1),
     "bestfirst_order": (q_bestfirst_order, sql_bestfirst_order),
     "seen_antijoin": (q_seen_antijoin, sql_seen_antijoin),
+    "seen_antijoin_cuckoo": (q_seen_antijoin_cuckoo, sql_seen_antijoin_cuckoo),
     "sitemap_order": (q_sitemap_order, sql_sitemap_order),
     "categorize": (q_categorize, sql_categorize),
     "quality_filter": (q_quality_filter, sql_quality_filter),
