@@ -151,6 +151,27 @@ def test_crawl_with_cuckoo_matches_oracle(spark):
         assert e["url"] == o["url"] and e["depth"] == o["depth"]
 
 
+def test_pipeline_seen_filter_cuckoo_bytes_match_bloom(spark, tmp_path):
+    """generate_llmstxt(seen_filter='cuckoo') — the CLI/pipeline surface —
+    must emit byte-identical llms.txt to the default bloom path: the filter
+    is a prefilter only, the exact anti-join decides membership."""
+    from web2llmstxt_spark.plans import pipeline
+
+    corpus = generate_corpus(seed=31, n_hosts=1, pages_per_host=25)
+    site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
+    kw = dict(max_pages=6, generated_at="2026-08-16T00:00:00")
+    ref = pipeline.generate_llmstxt(
+        spark, site, "https://ex0.example/", str(tmp_path / "bloom"), **kw
+    )
+    got = pipeline.generate_llmstxt(
+        spark, site, "https://ex0.example/", str(tmp_path / "cuckoo"),
+        seen_filter="cuckoo", **kw
+    )
+    ref_txt = open(ref["paths"][0], encoding="utf-8").read()
+    got_txt = open(got["paths"][0], encoding="utf-8").read()
+    assert got_txt == ref_txt
+
+
 def test_bad_seen_filter_rejected(spark):
     corpus = generate_corpus(seed=3, n_hosts=1, pages_per_host=5)
     site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES)

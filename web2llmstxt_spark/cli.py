@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="text output format variant")
     c.add_argument("--desc-cache-dir", default=None,
                    help="parquet description-cache table (T4)")
+    c.add_argument("--seen-filter", choices=["bloom", "cuckoo"], default="bloom",
+                   help="URL-seen prefilter for the systematic engine "
+                        "(cuckoo supports deletion; both correctness-neutral)")
     c.add_argument("--site-parquet", default=None,
                    help="site_pages parquet (url, host, title, spans, "
                         "word_count, out_links, content_type, fetch_ok); "
@@ -95,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
             full_text_only=args.full_text_only,
             crawl_strategy=args.strategy,
             desc_cache_dir=args.desc_cache_dir,
+            seen_filter=args.seen_filter,
             output_style=args.style,
             sitemap_blobs=sitemap_blobs,
             robots_text=robots_text,

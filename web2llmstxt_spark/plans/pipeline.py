@@ -45,6 +45,7 @@ def generate_llmstxt(
     root_sitemaps: list[str] | None = None,
     output_style: str = "v2",
     collect_entries: bool = True,
+    seen_filter: str = "bloom",
 ) -> dict:
     """Returns {'paths': [...], 'metadata': {...}, 'entries': [...], 'pages': [...]}.
 
@@ -62,6 +63,11 @@ def generate_llmstxt(
     operators/sitemap.py) over ``sitemap_blobs`` (sitemap_url, body) —
     roots from ``root_sitemaps`` or auto-discovery (well-known paths +
     robots ``Sitemap:`` lines in ``robots_text``).
+
+    ``seen_filter`` selects the systematic engine's URL-seen pre-filter:
+    'bloom' (default, no-FN append-only) or 'cuckoo' (supports deletion,
+    operators/cuckoo.py). Both are correctness-neutral — the exact
+    anti-join behind them decides membership; the filter only prunes.
     """
     start = time.time()
     # ref :169 (pyc): 3x page budget when full text requested
@@ -100,7 +106,8 @@ def generate_llmstxt(
             host_caps=host_caps,
         )
         crawler = FrontierCrawler(
-            spark, site_pages, cfg, robots_rules=robots_rules, run_dir=run_dir, use_bloom=True
+            spark, site_pages, cfg, robots_rules=robots_rules, run_dir=run_dir,
+            use_bloom=True, seen_filter=seen_filter,
         )
         pages_df, _seen = crawler.crawl(seeds or [(0, base_url)])
     pages_df = pages_df.persist(CACHE_LEVEL)
