@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import png
+from ..functions import png, wav, y4m
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -157,6 +157,90 @@ def extract_image_features(media: DataFrame, decoder: str = "fake",
     return imgs.mapInPandas(run, IMAGE_FEATURES)
 
 
+AUDIO_FEATURES = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak_abs", IntegerType()),
+        StructField("mean_abs", DoubleType()),
+        StructField("zero_crossings", IntegerType()),
+    ]
+)
+
+
+def _wav_decode_stats(blob: bytes) -> tuple[int, int, int, int, int, float, int]:
+    """REAL decode (functions/wav.py, stdlib struct) -> deterministic sample
+    stats, each an exact-integer reduction with at most one closing division
+    so the DuckDB oracle twin reproduces them bit-identically:
+
+    - ``peak_abs`` = max |sample| (integer);
+    - ``mean_abs`` = sum |sample| / (32768 * n) in [0,1];
+    - ``zero_crossings`` = count of adjacent sample pairs whose negative
+      flags differ (the flat interleaved stream; channels uninterleaved
+      would refine this, the oracle matches this exact definition).
+    """
+    import numpy as np
+
+    rate, channels, bits, samples = wav.decode_wav(blob)
+    arr = np.asarray(samples, dtype=np.int64)
+    n = int(arr.size)
+    scale = 32768 if bits == 16 else 256
+    absolute = np.abs(arr)
+    neg = arr < 0
+    zc = int(np.count_nonzero(neg[1:] != neg[:-1])) if n > 1 else 0
+    dur_ms = n * 1000 // (rate * channels)
+    return (
+        rate, channels, n, dur_ms,
+        int(absolute.max()) if n else 0,
+        float(int(absolute.sum()) / (scale * n)) if n else 0.0,
+        zc,
+    )
+
+
+def extract_audio_features(media: DataFrame, decoder: str = "wav") -> DataFrame:
+    """audio blobs -> sample statistics via mapInPandas (Arrow batches).
+
+    ``decoder='wav'``: REAL decode via the stdlib RIFF/PCM codec
+    (functions/wav.py) — rate/channels come from the parsed fmt chunk and
+    the stats from actual decoded samples, so a corrupted blob or codec bug
+    fails loudly here. Other decoders (mp3/flac/ogg) need soundfile/ffmpeg
+    and raise with the production recipe.
+    """
+    if decoder != "wav":
+        raise NotImplementedError(
+            "non-WAV decoders unavailable in this container; production: "
+            "soundfile.read(io.BytesIO(blob)) (or ffmpeg pipe) -> resample "
+            "-> feature model inside this same mapInPandas body"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _wav_decode_stats(bytes(b) if b is not None else b"")
+                for b in pdf["blob"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "sample_rate": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "n_channels": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "n_samples": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "duration_ms": pd.array([r[3] for r in rows], dtype="Int64"),
+                    "peak_abs": pd.array([r[4] for r in rows], dtype="Int32"),
+                    "mean_abs": [r[5] for r in rows],
+                    "zero_crossings": pd.array([r[6] for r in rows], dtype="Int32"),
+                }
+            )
+
+    auds = media.filter(F.col("kind") == "audio").select("doc_id", "media_ref", "blob")
+    return auds.mapInPandas(run, AUDIO_FEATURES)
+
+
 RESIZED = StructType(
     [
         StructField("doc_id", StringType()),
@@ -224,6 +308,60 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
     return vids.mapInPandas(run, FRAMES)
 
 
+FRAME_FEATURES = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def extract_video_frames(media: DataFrame, every_ms: int = 500,
+                         decoder: str = "y4m") -> DataFrame:
+    """video blobs -> one row per SAMPLED frame with its Y-plane mean luma,
+    via explode-shaped mapInPandas.
+
+    ``decoder='y4m'``: REAL container parse via the stdlib YUV4MPEG2 codec
+    (functions/y4m.py) — frame count/geometry/fps come from the parsed
+    stream header and ``mean_luma`` from the actual Y-plane bytes (exact
+    integer sum, one closing division — DuckDB-twin reproducible). Sampling:
+    timestamps 0, every_ms, 2*every_ms, ... < duration; frame_idx =
+    ts * fps_num // (1000 * fps_den). Other containers (mp4/webm) need
+    ffmpeg/pyav and raise with the production recipe.
+    """
+    if decoder != "y4m":
+        raise NotImplementedError(
+            "non-y4m containers unavailable in this container; production: "
+            "pyav frame iterator (av.open(io.BytesIO(blob))) inside this "
+            "same mapInPandas body"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, blob in zip(pdf["doc_id"], pdf["media_ref"], pdf["blob"]):
+                w, h, (num, den), _cs, frames = y4m.decode_y4m(
+                    bytes(blob) if blob is not None else b""
+                )
+                dur_ms = len(frames) * 1000 * den // num
+                npix = w * h
+                ts = 0
+                while ts < dur_ms:
+                    fidx = ts * num // (1000 * den)
+                    luma = sum(frames[fidx][:npix])  # Y plane only (420: first w*h)
+                    rows.append((doc_id, ref, fidx, ts, luma / (255 * npix)))
+                    ts += every_ms
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "frame_idx", "ts_ms", "mean_luma"]
+            )
+
+    vids = media.filter(F.col("kind") == "video").select("doc_id", "media_ref", "blob")
+    return vids.mapInPandas(run, FRAME_FEATURES)
+
+
 #: synthetic PNG geometry: 8x8 RGB = 192 pixel bytes = 12 md5 chunks
 SYNTH_W = SYNTH_H = 8
 _SYNTH_CHUNKS = SYNTH_W * SYNTH_H * 3 // 16
@@ -279,6 +417,108 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         ).alias("s"),
     ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
     return _attach_png_blobs(imgs)
+
+
+#: synthetic WAV geometry: mono 16-bit @8 kHz, 128 samples = 256 bytes = 16 md5 chunks
+SYNTH_RATE, SYNTH_SAMPLES = 8000, 128
+_SYNTH_WAV_CHUNKS = SYNTH_SAMPLES * 2 // 16
+#: synthetic y4m geometry: 8x8 mono @4 fps; frame = 64 bytes = 4 md5 chunks
+SYNTH_FPS = (4, 1)
+_SYNTH_FRAME_CHUNKS = SYNTH_W * SYNTH_H // 16
+
+
+def synth_wav_payload(media_ref: str) -> bytes:
+    """Deterministic PCM payload for a media_ref: md5 chain ``md5(ref:i)``
+    — the same byte sequence the DuckDB oracle twin derives from md5() hex,
+    so the driver-checked ``audio_features`` stats verify the RIFF
+    encode->decode round trip end-to-end (a chunk-walk or int16 bug changes
+    the decoded samples => hash mismatch)."""
+    return b"".join(
+        hashlib.md5(f"{media_ref}:{i}".encode()).digest()
+        for i in range(_SYNTH_WAV_CHUNKS)
+    )
+
+
+def synth_y4m_frames(media_ref: str, n_frames: int) -> list[bytes]:
+    """Deterministic Y planes: frame f = md5 chain ``md5(ref:f:i)`` (same
+    derivation in the ``video_frames`` DuckDB twin)."""
+    return [
+        b"".join(
+            hashlib.md5(f"{media_ref}:{f}:{i}".encode()).digest()
+            for i in range(_SYNTH_FRAME_CHUNKS)
+        )
+        for f in range(n_frames)
+    ]
+
+
+def synth_audio(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Derive an audio media table from a flat documents table: one mono
+    16-bit WAV per document, ``media_ref = 'wav-'||doc_id``, blob a REAL
+    RIFF/WAVE encode (with the planted LIST chunk) of the deterministic
+    payload. The driver-checked ``audio_features`` input."""
+    auds = documents.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.concat(F.lit("wav-"), F.col(id_col).cast("string")).alias("media_ref"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dur = SYNTH_SAMPLES * 1000 // SYNTH_RATE
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": "audio",
+                    "blob": [
+                        wav.encode_wav(SYNTH_RATE, 1, 16, synth_wav_payload(r))
+                        for r in pdf["media_ref"]
+                    ],
+                    "meta": [
+                        {"mime": "audio/wav", "width": None, "height": None,
+                         "duration_ms": dur}
+                        for _ in pdf["media_ref"]
+                    ],
+                }
+            )
+
+    return auds.mapInPandas(run, MEDIA)
+
+
+def synth_video(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Derive a video media table from a flat documents table: one 8x8 mono
+    y4m per document with ``4 + doc_id % 3`` frames (so sampled-frame counts
+    vary across rows), ``media_ref = 'y4m-'||doc_id``. The driver-checked
+    ``video_frames`` input."""
+    vids = documents.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.concat(F.lit("y4m-"), F.col(id_col).cast("string")).alias("media_ref"),
+        (F.lit(4) + F.col(id_col).cast("long") % 3).cast("int").alias("n_frames"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        num, den = SYNTH_FPS
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": "video",
+                    "blob": [
+                        y4m.encode_y4m(
+                            SYNTH_W, SYNTH_H, SYNTH_FPS, synth_y4m_frames(r, int(n))
+                        )
+                        for r, n in zip(pdf["media_ref"], pdf["n_frames"])
+                    ],
+                    "meta": [
+                        {"mime": "video/x-yuv4mpeg", "width": SYNTH_W,
+                         "height": SYNTH_H,
+                         "duration_ms": int(n) * 1000 * den // num}
+                        for n in pdf["n_frames"]
+                    ],
+                }
+            )
+
+    return vids.mapInPandas(run, MEDIA)
 
 
 def synth_media(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -956,6 +956,103 @@ def sql_media_features():
     """
 
 
+def q_audio_features(spark, sf_dir):
+    """Multimodal AUDIO decode, REAL: one synthetic mono 16-bit WAV per
+    document (PCM payload = md5 chain of the media_ref, RIFF-encoded WITH a
+    planted LIST chunk), decoded by the stdlib codec (functions/wav.py)
+    inside mapInPandas, reduced to exact-integer sample stats. The oracle
+    derives the same int16 samples from md5() hex in SQL — a chunk-walk or
+    sign-extension bug changes the decoded samples and fails the hash
+    match, so this row verifies the RIFF round trip end-to-end."""
+    from ..operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.synth_audio(docs)
+    return multimodal.extract_audio_features(media, decoder="wav")
+
+
+def _sql_md5_byte(ref_expr: str, pos_expr: str) -> str:
+    """DuckDB: byte value at payload position ``pos`` of the md5 chain
+    ``md5(ref || ':' || pos // 16)`` (hex pair ``pos % 16``)."""
+    h = f"md5({ref_expr} || ':' || CAST(({pos_expr}) // 16 AS VARCHAR))"
+    return (
+        f"(strpos('0123456789abcdef', substr({h}, (({pos_expr}) % 16) * 2 + 1, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr({h}, (({pos_expr}) % 16) * 2 + 2, 1)) - 1"
+    )
+
+
+def sql_audio_features():
+    # sample k: little-endian int16 from payload bytes (2k, 2k+1)
+    lo = _sql_md5_byte("media_ref", "k * 2")
+    hi = _sql_md5_byte("media_ref", "k * 2 + 1")
+    return f"""
+        WITH refs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'wav-' || CAST(doc_id AS VARCHAR) AS media_ref
+            FROM documents),
+        s AS (
+            SELECT doc_id, media_ref, k,
+                   CASE WHEN ({lo}) + 256 * ({hi}) >= 32768
+                        THEN ({lo}) + 256 * ({hi}) - 65536
+                        ELSE ({lo}) + 256 * ({hi}) END AS v
+            FROM refs CROSS JOIN generate_series(0, 127) AS g(k)),
+        lagged AS (
+            SELECT doc_id, media_ref, k, v,
+                   LAG(v) OVER (PARTITION BY media_ref ORDER BY k) AS pv
+            FROM s)
+        SELECT doc_id, media_ref,
+               CAST(8000 AS INTEGER) AS sample_rate,
+               CAST(1 AS INTEGER) AS n_channels,
+               CAST(128 AS INTEGER) AS n_samples,
+               CAST(16 AS BIGINT) AS duration_ms,
+               CAST(MAX(ABS(v)) AS INTEGER) AS peak_abs,
+               SUM(ABS(v)) / (32768.0 * 128) AS mean_abs,
+               CAST(COUNT(*) FILTER (WHERE k > 0 AND (v < 0) != (pv < 0))
+                    AS INTEGER) AS zero_crossings
+        FROM lagged GROUP BY 1, 2
+    """
+
+
+def q_video_frames(spark, sf_dir):
+    """Multimodal VIDEO parse, REAL: one synthetic 8x8 mono YUV4MPEG2 blob
+    per document (4 + doc_id%3 frames @4 fps, Y planes = md5 chains,
+    extension tokens + per-frame params planted), parsed by the stdlib
+    codec (functions/y4m.py) inside mapInPandas; frames sampled every
+    500 ms with their exact Y-plane mean luma. The oracle derives the same
+    frame bytes from md5() hex in SQL — a header-parse or frame-walk bug
+    changes sampled indices/luma and fails the hash match."""
+    from ..operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.synth_video(docs)
+    return multimodal.extract_video_frames(media, every_ms=500, decoder="y4m")
+
+
+def sql_video_frames():
+    # frame fidx of ref, Y-plane byte p: md5(ref || ':' || fidx || ':' || p//16)
+    byte_v = _sql_md5_byte("media_ref || ':' || CAST(fidx AS VARCHAR)", "p")
+    return f"""
+        WITH refs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'y4m-' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   4 + doc_id % 3 AS nf
+            FROM documents),
+        samp AS (
+            -- ts = 0, 500, ... < nf*250ms; frame_idx = ts*4/1000 @4fps
+            SELECT doc_id, media_ref, ts, ts * 4 // 1000 AS fidx
+            FROM refs CROSS JOIN generate_series(0, 1000, 500) AS g(ts)
+            WHERE ts < nf * 250),
+        b AS (
+            SELECT doc_id, media_ref, ts, fidx, {byte_v} AS v
+            FROM samp CROSS JOIN generate_series(0, 63) AS gb(p))
+        SELECT doc_id, media_ref,
+               CAST(fidx AS INTEGER) AS frame_idx,
+               CAST(ts AS BIGINT) AS ts_ms,
+               SUM(v) / (255.0 * 64) AS mean_luma
+        FROM b GROUP BY 1, 2, 3, 4
+    """
+
+
 def q_span_roundtrip(spark, sf_dir):
     """Interleaved-span round trip on the BASELINE.json input_hint shape.
 
@@ -1254,6 +1351,8 @@ REGISTRY: dict[str, tuple] = {
     "ann_lsh": (q_ann_lsh, sql_ann_lsh),
     "pipeline_e2e": (q_pipeline_e2e, sql_pipeline_e2e),
     "media_features": (q_media_features, sql_media_features),
+    "audio_features": (q_audio_features, sql_audio_features),
+    "video_frames": (q_video_frames, sql_video_frames),
     "span_roundtrip": (q_span_roundtrip, sql_span_roundtrip),
     "robots_filter": (q_robots_filter, sql_robots_filter),
     "pagination_discover": (q_pagination_discover, sql_pagination_discover),
