@@ -44,6 +44,11 @@ HEADLINE = [
     "span_roundtrip",
     "robots_filter",
     "politeness_cap",
+    "decontam",
+    "repetition_filter",
+    "stratified_sample",
+    "mixture_sample",
+    "pii_scrub",
 ]
 
 

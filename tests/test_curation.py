@@ -1,0 +1,92 @@
+"""Curation operators: decontamination, repetition filter, stratified sample."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from web2llmstxt_spark.operators import curation
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # 0: clean prose
+        (0, "the quick brown fox jumps over the lazy dog near the river bank", "en"),
+        # 1: shares an 8-gram with doc 0 (contamination target)
+        (1, "note that the quick brown fox jumps over the lazy dog was seen", "en"),
+        # 2: pathological repetition (one bigram dominates; dup tokens)
+        (2, "spam ham spam ham spam ham spam ham spam ham spam ham", "en"),
+        # 3: all-distinct tokens
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "fr"),
+        (4, "un deux trois quatre cinq six sept huit neuf dix onze douze", "fr"),
+        (5, "ein text ohne wiederholung aber mit genug verschiedenen woertern darin", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestDecontaminate:
+    def test_planted_overlap_flagged(self, spark, docs):
+        bench = docs.filter(F.col("doc_id") == 0)
+        out = {r.doc_id: r for r in curation.decontaminate(docs, bench, n=8).collect()}
+        assert len(out) == 6  # one row per corpus doc
+        assert out[0].contaminated  # benchmark member itself
+        assert out[1].contaminated and out[1].n_hits >= 1  # shared 8-gram
+        for i in (2, 3, 4, 5):
+            assert not out[i].contaminated and out[i].n_hits == 0
+
+    def test_ngram_order_matters(self, spark, docs):
+        # at n=13 the 12-token docs produce one short shingle each; doc 1's
+        # differs from doc 0's, so only the benchmark member is flagged
+        bench = docs.filter(F.col("doc_id") == 0)
+        out = {r.doc_id: r.contaminated
+               for r in curation.decontaminate(docs, bench, n=13).collect()}
+        assert out[0] and not out[1]
+
+
+class TestRepetitionStats:
+    def test_flags_repetitive_doc_only(self, spark, docs):
+        out = {r.doc_id: r for r in curation.repetition_stats(docs).collect()}
+        assert not out[2].keep
+        assert out[2].n_distinct_tokens == 2
+        # top bigram 'spam ham' occurs 6x of the 11 bigrams (12 tokens)
+        assert out[2].top_bigram_n == 6 and out[2].n_bigrams == 11
+        for i in (0, 1, 3, 4, 5):
+            assert out[i].keep, f"doc {i} wrongly dropped"
+
+    def test_counts_exact(self, spark, docs):
+        r = {x.doc_id: x for x in curation.repetition_stats(docs).collect()}[0]
+        assert r.n_tokens == 13 and r.n_distinct_tokens == 11  # 'the' x3
+
+
+class TestStratifiedSample:
+    def test_exact_k_and_rank_contiguity(self, spark, docs):
+        out = curation.stratified_sample(docs, "lang", "doc_id", k=2).collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r.lang, []).append(r.rk)
+        assert {k: sorted(v) for k, v in by_lang.items()} == {
+            "en": [1, 2], "fr": [1, 2], "de": [1],
+        }
+
+    def test_mixture_quotas_and_exclusion(self, spark, docs):
+        """Quota = floor(total*w/sum); strata outside the mix are excluded;
+        a stratum smaller than its quota contributes all it has."""
+        from web2llmstxt_spark.operators.curation import (
+            mixture_quotas, mixture_sample)
+
+        # en:2 fr:1 over total 6 -> quotas en=4, fr=2; de excluded
+        assert mixture_quotas({"en": 2, "fr": 1}, 6) == {"en": 4, "fr": 2}
+        out = mixture_sample(docs, {"en": 2, "fr": 1}, 6).collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r.lang, set()).add(r.rk)
+        # docs has only 3 en rows: quota 4 under-fills to 3
+        assert by_lang == {"en": {1, 2, 3}, "fr": {1, 2}}
+
+    def test_salt_invariance(self, spark, docs):
+        """The salted phase-1 prune is lossless: any salt gives the exact
+        per-stratum top-k by the md5 key."""
+        a = sorted(map(tuple, curation.stratified_sample(
+            docs, "lang", "doc_id", k=2, salt=1).collect()))
+        b = sorted(map(tuple, curation.stratified_sample(
+            docs, "lang", "doc_id", k=2, salt=32).collect()))
+        assert a == b and len(a) == 5

@@ -97,6 +97,48 @@ class TestMultimodal:
         frames = multimodal.sample_video_frames(vids, every_ms=1000).collect()
         assert [(f.frame_idx, f.ts_ms) for f in frames] == [(0, 0), (1, 1000), (2, 2000)]
 
+    def test_media_from_documents_all_modalities(self, spark):
+        """Opt-in audio/video spans flow through media_from_documents into
+        every real codec path (PNG, WAV, Y4M) end-to-end."""
+        corpus = generate_corpus(
+            seed=43, n_hosts=1, pages_per_host=10,
+            media_kinds=("image", "audio", "video"),
+        )
+        docs = spark.createDataFrame(corpus.documents_rows(), schemas.DOCUMENTS)
+        media = multimodal.media_from_documents(docs).cache()
+        by_kind = {r.kind: r.n for r in
+                   media.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+        assert set(by_kind) == {"image", "audio", "video"}
+        assert all(n > 0 for n in by_kind.values())
+
+        feats = multimodal.extract_image_features(media, decoder="png").collect()
+        assert len(feats) == by_kind["image"]
+        assert all(r.width == 8 and r.height == 8 for r in feats)
+
+        afeats = multimodal.extract_audio_features(media).collect()
+        assert len(afeats) == by_kind["audio"]
+        assert all(r.sample_rate == 8000 and r.n_channels == 1 for r in afeats)
+        assert all(r.n_samples == 128 and 0.0 <= r.mean_abs <= 1.0 for r in afeats)
+
+        vframes = multimodal.extract_video_frames(media).collect()
+        vids = {(r.doc_id, r.media_ref) for r in vframes}
+        assert len(vids) == by_kind["video"]
+        assert all(0.0 <= r.mean_luma <= 1.0 for r in vframes)
+        media.unpersist()
+
+    def test_default_corpus_spans_unchanged(self):
+        """The media_kinds default keeps the corpus byte-identical: no
+        audio/video spans, identical span sequence to an explicit image-only
+        run (golden tests elsewhere depend on this)."""
+        a = generate_corpus(seed=43, n_hosts=1, pages_per_host=6)
+        b = generate_corpus(seed=43, n_hosts=1, pages_per_host=6,
+                            media_kinds=("image",))
+        sa = [(u, p.spans) for u, p in sorted(a.pages.items())]
+        sb = [(u, p.spans) for u, p in sorted(b.pages.items())]
+        assert sa == sb
+        kinds = {s[0] for _, spans in sa for s in spans}
+        assert "audio" not in kinds and "video" not in kinds
+
     def test_real_decoder_is_marked_stub(self, spark):
         import pytest
 

@@ -1,0 +1,229 @@
+"""Training-data curation operators beyond the reference's surface.
+
+Three curation primitives every large-scale LLM-data pipeline runs between
+crawl and training, expressed as pure DataFrame plans (no Python in the hot
+path) with DuckDB oracle twins:
+
+- benchmark DECONTAMINATION: flag corpus documents sharing any word n-gram
+  with an eval/benchmark set (the n-gram-overlap protocol published with
+  GPT-3 appendix C / The Pile; public knowledge);
+- REPETITION filtering: per-document duplicate-token and top-bigram mass
+  (the Gopher / RefinedWeb "repetitious document" signals; public
+  knowledge), division-free so both engines agree bit-exactly;
+- deterministic STRATIFIED SAMPLING: exact-k per stratum by a stable
+  pseudo-random md5 key (the data-mixing primitive), with a salted
+  two-phase top-k so a huge stratum never funnels through one partition.
+
+Scale notes (100 TB): the benchmark side of decontamination is tiny (eval
+sets are MBs) and is broadcast — corpus bytes never shuffle; repetition
+stats shuffle only (doc_id, bigram) pairs with map-side combine; sampling's
+phase-1 salt bounds any stratum's window input to ``salt * k`` rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+from .textstats import whitespace_tokens_sql
+
+# ---------------------------------------------------------------- n-grams
+
+
+def ngrams_col(text, n: int, distinct: bool = True):
+    """Word n-grams joined by a single space (the dedup shingle shape:
+    `dedup.ngram_jaccard`). ``distinct=False`` keeps multiplicity (needed
+    for frequency stats)."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.array_distinct(grams) if distinct else grams
+
+
+def ngrams_sql(tok_expr: str, n: int, distinct: bool = True) -> str:
+    """DuckDB twin of ngrams_col over an already-tokenized list expr."""
+    grams = (
+        f"list_transform(range(0, greatest(len({tok_expr}) - {n}, 0) + 1), "
+        f"i -> array_to_string(({tok_expr})[i+1:i+{n}], ' '))"
+    )
+    return f"list_distinct({grams})" if distinct else grams
+
+
+# ------------------------------------------------------- decontamination
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Flag corpus documents sharing any word ``n``-gram with a benchmark /
+    eval set. Output: one row per corpus doc — (id, n_hits, contaminated),
+    where n_hits counts the doc's DISTINCT contaminated n-grams.
+
+    Scale shape: the benchmark's distinct n-gram hashes are built once and
+    BROADCAST; the corpus side explodes its n-grams map-side and probes the
+    broadcast hash set — corpus bytes never cross a shuffle. The only
+    aggregation is the per-doc hit count (combiner-friendly on id). At a
+    true 100 TB corpus the explode is the dominant cost and is embarrassingly
+    parallel; the broadcast side stays MB-scale because eval sets are small
+    by construction.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(ngrams_col(F.col(text_col), n)).alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    corpus_grams = docs.select(
+        F.col(id_col), F.explode(ngrams_col(F.col(text_col), n)).alias("g")
+    ).select(id_col, F.md5("g").alias("gh"))
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------- repetition filtering
+
+#: Gopher-style keep thresholds as exact integer ratios (num, den): drop a
+#: doc when duplicate-token fraction > 3/10 or top-bigram mass > 18/100.
+#: Compared via integer cross-multiplication — no floating division, so the
+#: Spark plan and the DuckDB twin agree bit-exactly.
+DUP_TOKEN_MAX = (3, 10)
+TOP_BIGRAM_MAX = (18, 100)
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality filter).
+
+    Output: (id, n_tokens, n_distinct_tokens, n_bigrams, top_bigram_n,
+    keep). All counts are exact integers; ``keep`` applies DUP_TOKEN_MAX /
+    TOP_BIGRAM_MAX via cross-multiplication.
+
+    Scale shape: token counts are pure Column algebra (no shuffle); the
+    bigram mode is ONE explode -> groupBy(id, bigram) count (map-side
+    combine) -> per-doc max+sum — both shuffles keyed by id, no hotspot.
+    """
+    toks = tokens_col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+    bigrams = docs.select(
+        F.col(id_col),
+        F.explode(ngrams_col(F.col(text_col), 2, distinct=False)).alias("bg"),
+    )
+    mode = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("c").cast("long").alias("top_bigram_n"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+        )
+    )
+    dt_n, dt_d = DUP_TOKEN_MAX
+    tb_n, tb_d = TOP_BIGRAM_MAX
+    out = base.join(mode, id_col)
+    dup_bad = (F.col("n_tokens") - F.col("n_distinct_tokens")) * dt_d > dt_n * F.col("n_tokens")
+    bg_bad = F.col("top_bigram_n") * tb_d > tb_n * F.col("n_bigrams")
+    return out.select(
+        id_col, "n_tokens", "n_distinct_tokens", "n_bigrams", "top_bigram_n",
+        (~(dup_bad | bg_bad)).alias("keep"),
+    )
+
+
+# ----------------------------------------------------- stratified sampling
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 20,
+    salt: int = 32,
+) -> DataFrame:
+    """Deterministic exact-k per-stratum sample: rank docs within each
+    stratum by (md5(id), id) — a stable pseudo-random order both engines
+    reproduce — and keep the first k. Output: (stratum, id, rk).
+
+    Scale shape: a naive ``Window.partitionBy(stratum)`` funnels a whole
+    stratum (possibly 10^9 rows for `lang='en'`) through one partition, so
+    this runs the exact two-phase top-k: phase 1 ranks within
+    (stratum, hash(id) % salt) and keeps k per salted group — the true
+    per-stratum top-k by the md5 key is always a subset of the union of
+    per-salt top-k, so the prune is lossless — leaving <= salt*k survivors
+    per stratum for phase 2's exact window. Same pattern as the frontier's
+    distributed budget cut (operators/ranking.py).
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    salted = Window.partitionBy(
+        stratum_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
+    ).orderBy(key, F.col(id_col))
+    survivors = (
+        docs.select(stratum_col, id_col)
+        .withColumn("__srk", F.row_number().over(salted))
+        .filter(F.col("__srk") <= k)
+        .drop("__srk")
+    )
+    exact = Window.partitionBy(stratum_col).orderBy(key, F.col(id_col))
+    return (
+        survivors.withColumn("rk", F.row_number().over(exact))
+        .filter(F.col("rk") <= k)
+        .select(stratum_col, id_col, F.col("rk").cast("int").alias("rk"))
+    )
+
+
+# ------------------------------------------------------- mixture sampling
+
+
+def mixture_quotas(weights: dict[str, int], total: int) -> dict[str, int]:
+    """Per-stratum quotas: floor(total * w / sum(w)) in exact integer
+    arithmetic. Computed ONCE in Python and embedded as literals in both
+    the Spark plan and the SQL twin — no float division in either engine."""
+    wsum = sum(weights.values())
+    return {s: (total * w) // wsum for s, w in weights.items()}
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, int],
+    total: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: int = 32,
+) -> DataFrame:
+    """Weighted data-mixing sample: draw ~``total`` docs with per-stratum
+    quotas proportional to integer ``weights`` (the training-mixture
+    primitive — e.g. upweight `en`, downweight boilerplate-heavy sources).
+    Strata not in ``weights`` are excluded. A stratum smaller than its
+    quota contributes everything it has (both engines agree).
+
+    Scale shape: the weights table is rows-per-stratum tiny and BROADCAST;
+    ranking reuses stratified_sample's salted two-phase top-k at
+    k = max(quota), so no stratum ever funnels through one partition.
+    """
+    quotas = mixture_quotas(weights, total)
+    kmax = max(quotas.values())
+    in_mix = docs.filter(F.col(stratum_col).isin(list(weights)))
+    ranked = stratified_sample(in_mix, stratum_col, id_col, k=kmax, salt=salt)
+    qdf = docs.sparkSession.createDataFrame(
+        sorted(quotas.items()), f"{stratum_col} string, __quota int"
+    )
+    return (
+        ranked.join(F.broadcast(qdf), stratum_col)
+        .filter(F.col("rk") <= F.col("__quota"))
+        .select(stratum_col, id_col, "rk")
+    )

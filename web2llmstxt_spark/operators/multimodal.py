@@ -407,16 +407,76 @@ def _attach_png_blobs(imgs: DataFrame) -> DataFrame:
     return imgs.mapInPandas(run, MEDIA)
 
 
-def media_from_documents(documents: DataFrame) -> DataFrame:
-    """Derive a media table from interleaved documents: one row per image
-    span, with a real (deterministically synthesized) PNG blob."""
-    imgs = documents.select(
+#: media span kinds media_from_documents materializes by default
+MEDIA_KINDS = ("image", "audio", "video")
+
+
+def media_from_documents(documents: DataFrame,
+                         kinds: tuple = MEDIA_KINDS) -> DataFrame:
+    """Derive a media table from interleaved documents: one row per media
+    span (image/audio/video), each with a real deterministically-synthesized
+    blob in the span's native codec (PNG / RIFF WAV / YUV4MPEG2) so every
+    downstream extractor runs a true decode. The span filter runs JVM-side
+    (higher-order `filter` + explode) before any blob exists — blobs are
+    born in the final mapInPandas and never cross a shuffle."""
+    refs = documents.select(
         "doc_id",
         F.explode(
-            F.filter(F.col("spans"), lambda s: s["kind"] == "image")
+            F.filter(F.col("spans"), lambda s: s["kind"].isin(list(kinds)))
         ).alias("s"),
-    ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
-    return _attach_png_blobs(imgs)
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    return _attach_media_blobs(refs)
+
+
+def _attach_media_blobs(refs: DataFrame) -> DataFrame:
+    """(doc_id, kind, media_ref) -> full media rows, blob encoded per kind
+    in one Arrow-batched mapInPandas (stdlib codecs)."""
+
+    def _one(kind: str, ref: str):
+        if kind == "audio":
+            return (
+                wav.encode_wav(SYNTH_RATE, 1, 16, synth_wav_payload(ref)),
+                {"mime": "audio/wav", "width": None, "height": None,
+                 "duration_ms": SYNTH_SAMPLES * 1000 // SYNTH_RATE},
+            )
+        if kind == "video":
+            # frame count varies deterministically per ref (4..6)
+            n = 4 + hashlib.md5(ref.encode()).digest()[0] % 3
+            num, den = SYNTH_FPS
+            return (
+                y4m.encode_y4m(SYNTH_W, SYNTH_H, SYNTH_FPS,
+                               synth_y4m_frames(ref, n)),
+                {"mime": "video/x-yuv4mpeg", "width": SYNTH_W,
+                 "height": SYNTH_H, "duration_ms": n * 1000 * den // num},
+            )
+        return (
+            _synth_png_blob(ref),
+            {"mime": "image/png", "width": SYNTH_W, "height": SYNTH_H,
+             "duration_ms": None},
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, metas = [], []
+            for k, r in zip(pdf["kind"], pdf["media_ref"]):
+                b, m = _one(k, r)
+                blobs.append(b)
+                metas.append(m)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": pdf["kind"],
+                    "blob": blobs,
+                    "meta": metas,
+                }
+            )
+
+    return refs.mapInPandas(run, MEDIA)
 
 
 #: synthetic WAV geometry: mono 16-bit @8 kHz, 128 samples = 256 bytes = 16 md5 chunks

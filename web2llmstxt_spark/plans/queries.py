@@ -1318,6 +1318,187 @@ def sql_pagination_discover():
     """
 
 
+#: decontamination n-gram order on the driver surface (docs are ~30-70
+#: tokens; 8-grams make membership+near-dup hits without flooding)
+DECONTAM_N = 8
+#: deterministic benchmark/eval subset: every 23rd doc
+DECONTAM_BENCH_MOD = 23
+
+
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination (curation.decontaminate): flag corpus docs
+    sharing any word 8-gram with a deterministic eval subset (doc_id % 23
+    == 0). Benchmark n-gram hashes broadcast; corpus bytes never shuffle."""
+    from ..operators import curation
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    return curation.decontaminate(docs, bench, n=DECONTAM_N)
+
+
+def sql_decontam():
+    from ..operators import curation
+
+    toks = textstats.whitespace_tokens_sql("text")
+    grams = curation.ngrams_sql("t", DECONTAM_N)
+    return f"""
+        WITH toksrc AS (SELECT doc_id, {toks} AS t FROM documents),
+        grams AS (SELECT doc_id, {grams} AS gs FROM toksrc),
+        bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams
+                  WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+        corpus AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+        hits AS (SELECT c.doc_id, count(*) AS n_hits
+                 FROM corpus c JOIN bench b ON c.g = b.g
+                 GROUP BY c.doc_id)
+        SELECT d.doc_id,
+               coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition filter (curation.repetition_stats):
+    duplicate-token fraction + top-bigram mass, integer-exact keep flag."""
+    from ..operators import curation
+
+    docs = load(spark, sf_dir, "documents")
+    return curation.repetition_stats(docs)
+
+
+def sql_repetition_filter():
+    from ..operators import curation
+
+    toks = textstats.whitespace_tokens_sql("text")
+    bigrams = curation.ngrams_sql("t", 2, distinct=False)
+    dt_n, dt_d = curation.DUP_TOKEN_MAX
+    tb_n, tb_d = curation.TOP_BIGRAM_MAX
+    return f"""
+        WITH toksrc AS (SELECT doc_id, {toks} AS t FROM documents),
+        base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+                        len(list_distinct(t))::BIGINT AS n_distinct_tokens
+                 FROM toksrc),
+        bg AS (SELECT doc_id, unnest({bigrams}) AS bg FROM toksrc),
+        cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+        md AS (SELECT doc_id, max(c)::BIGINT AS top_bigram_n,
+                      sum(c)::BIGINT AS n_bigrams
+               FROM cnt GROUP BY doc_id)
+        SELECT b.doc_id, n_tokens, n_distinct_tokens, n_bigrams, top_bigram_n,
+               NOT (((n_tokens - n_distinct_tokens) * {dt_d} > {dt_n} * n_tokens)
+                    OR (top_bigram_n * {tb_d} > {tb_n} * n_bigrams)) AS keep
+        FROM base b JOIN md USING (doc_id)
+    """
+
+
+#: stratified-sample size per stratum on the driver surface
+STRAT_K = 20
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic exact-k per-language sample (curation.stratified_sample,
+    salted two-phase top-k — no single-partition stratum window)."""
+    from ..operators import curation
+
+    docs = load(spark, sf_dir, "documents")
+    return curation.stratified_sample(docs, "lang", "doc_id", k=STRAT_K)
+
+
+def sql_stratified_sample():
+    return f"""
+        SELECT lang, doc_id, rk::INT AS rk FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+            FROM documents)
+        WHERE rk <= {STRAT_K}
+    """
+
+
+#: training-mixture weights + draw size on the driver surface (integer
+#: weights; quotas are floor(total*w/sum) computed once in Python and
+#: embedded as literals in BOTH plans — see curation.mixture_quotas)
+MIX_WEIGHTS = {"en": 5, "zh": 2, "es": 2, "de": 1, "fr": 1}
+MIX_TOTAL = 110
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Weighted data-mixing draw (curation.mixture_sample): per-lang quotas
+    proportional to MIX_WEIGHTS, deterministic md5 order, broadcast quota
+    table over the salted two-phase top-k."""
+    from ..operators import curation
+
+    docs = load(spark, sf_dir, "documents")
+    return curation.mixture_sample(docs, MIX_WEIGHTS, MIX_TOTAL)
+
+
+def sql_mixture_sample():
+    from ..operators import curation
+
+    quotas = curation.mixture_quotas(MIX_WEIGHTS, MIX_TOTAL)
+    vals = ", ".join(f"('{s}', {q})" for s, q in sorted(quotas.items()))
+    langs = ", ".join(f"'{s}'" for s in sorted(MIX_WEIGHTS))
+    return f"""
+        WITH ranked AS (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+            FROM documents WHERE lang IN ({langs}))
+        SELECT lang, doc_id, rk::INT AS rk
+        FROM ranked JOIN (VALUES {vals}) AS q(lang, quota) USING (lang)
+        WHERE rk <= quota
+    """
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (scrub.scrub_pii): sequential email/phone/IPv4 chain,
+    pure JVM regexp — zero shuffles. The synthetic docs carry no PII, so
+    the query PLANTS deterministic PII on every third doc identically in
+    both engines before scrubbing; counts and redacted bytes must agree."""
+    from ..operators import scrub
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), d.cast("string"),
+                F.lit("@mail.example.org or +1 555 "),
+                F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit(" 0199 from 10.0."),
+                (d % 256).cast("string"), F.lit("."),
+                ((d % 200) + 1).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return scrub.scrub_pii(planted)
+
+
+def sql_pii_scrub():
+    from ..operators import scrub
+
+    counts, clean = scrub.scrub_sql("text")
+    return f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                        text || ' contact user' || doc_id::VARCHAR
+                             || '@mail.example.org or +1 555 '
+                             || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                             || ' 0199 from 10.0.'
+                             || (doc_id % 256)::VARCHAR || '.'
+                             || ((doc_id % 200) + 1)::VARCHAR
+                   ELSE text END AS text
+            FROM documents)
+        SELECT doc_id, {', '.join(counts)},
+               {clean} AS text_clean,
+               (n_email + n_phone + n_ipv4) > 0 AS has_pii
+        FROM planted
+    """
+
+
 REGISTRY: dict[str, tuple] = {
     # name: (spark_builder, oracle_sql_builder or None)
     "frontier_topk": (q_frontier_topk, sql_frontier_topk),
@@ -1357,4 +1538,9 @@ REGISTRY: dict[str, tuple] = {
     "robots_filter": (q_robots_filter, sql_robots_filter),
     "pagination_discover": (q_pagination_discover, sql_pagination_discover),
     "politeness_cap": (q_politeness_cap, sql_politeness_cap),
+    "decontam": (q_decontam, sql_decontam),
+    "repetition_filter": (q_repetition_filter, sql_repetition_filter),
+    "stratified_sample": (q_stratified_sample, sql_stratified_sample),
+    "mixture_sample": (q_mixture_sample, sql_mixture_sample),
+    "pii_scrub": (q_pii_scrub, sql_pii_scrub),
 }

@@ -129,8 +129,13 @@ class Corpus:
         return path
 
 
-def _make_spans(rng: random.Random, title: str, n_words: int, host: str) -> list[tuple]:
-    """Interleaved text+media spans whose text joins to ~n_words words."""
+def _make_spans(rng: random.Random, title: str, n_words: int, host: str,
+                media_kinds: tuple = ("image",)) -> list[tuple]:
+    """Interleaved text+media spans whose text joins to ~n_words words.
+
+    ``media_kinds`` widens the planted media beyond images ("audio",
+    "video") without touching the rng stream, so the default corpus stays
+    byte-identical while multimodal tests opt into the full modality set."""
     spans: list[tuple] = [("heading", f"# {title}", "", 0)]
     offset = 1
     words_left = n_words - 2  # heading contributes '#' + title words
@@ -152,8 +157,14 @@ def _make_spans(rng: random.Random, title: str, n_words: int, host: str) -> list
         offset += 1
         words_left -= k
         para_i += 1
-        if para_i % 3 == 1:  # interleave media between paragraphs
+        if para_i % 3 == 1 and "image" in media_kinds:  # interleave media
             spans.append(("image", "", f"https://{host}/img/{para_i}.png", offset))
+            offset += 1
+        if para_i % 7 == 5 and "audio" in media_kinds:
+            spans.append(("audio", "", f"https://{host}/aud/{para_i}.wav", offset))
+            offset += 1
+        if para_i % 7 == 6 and "video" in media_kinds:
+            spans.append(("video", "", f"https://{host}/vid/{para_i}.y4m", offset))
             offset += 1
         if para_i % 4 == 2:
             spans.append(("link", f"[more]({rng.choice(SECTION_SEGMENTS)})",
@@ -173,6 +184,7 @@ def generate_corpus(
     chain_len: int = 7,
     p_low_quality: float = 0.2,
     p_fetch_fail: float = 0.1,
+    media_kinds: tuple = ("image",),
 ) -> Corpus:
     """Deterministic corpus. ``skew_factor`` multiplies host 0's page count
     (set ~n_hosts to give host 0 about half of all URLs)."""
@@ -226,7 +238,7 @@ def generate_corpus(
             title = f"{titled} | Ex{hi} Site" if rng.random() < 0.5 else titled
             low_quality = rng.random() < p_low_quality and path != "/"
             n_words = rng.randint(10, 45) if low_quality else rng.randint(60, 220)
-            spans = _make_spans(rng, titled, n_words, host)
+            spans = _make_spans(rng, titled, n_words, host, media_kinds)
             content = kernels.spans_to_content_py(spans)
             wc = kernels.word_count(content)
 
