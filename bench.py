@@ -49,6 +49,7 @@ HEADLINE = [
     "stratified_sample",
     "mixture_sample",
     "pii_scrub",
+    "line_dedup",
 ]
 
 

@@ -57,6 +57,45 @@ class TestRepetitionStats:
         assert r.n_tokens == 13 and r.n_distinct_tokens == 11  # 'the' x3
 
 
+class TestLineDedup:
+    @pytest.fixture(scope="class")
+    def lined(self, spark):
+        boiler = "subscribe to our newsletter"
+        rows = [
+            (0, f"{boiler}\nunique opening zero\nshared middle line\n{boiler}"),
+            (1, f"{boiler}\nunique opening one\nshared middle line"),
+            (2, f"shared middle line\n{boiler}\nunique closing two"),
+            (3, "entirely unique document three\nwith two private lines"),
+            (4, f"{boiler}"),  # nothing survives
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_boilerplate_stripped_order_kept(self, spark, lined):
+        out = {r.doc_id: r for r in
+               curation.line_dedup(lined, min_docs=3).collect()}
+        # boiler (4 docs) and 'shared middle line' (3 docs) are boilerplate
+        assert out[0].text_clean == "unique opening zero"
+        assert out[1].text_clean == "unique opening one"
+        assert out[2].text_clean == "unique closing two"
+        # untouched doc keeps both lines in original order
+        assert out[3].text_clean == (
+            "entirely unique document three\nwith two private lines")
+        assert (out[3].n_lines, out[3].n_kept, out[3].n_removed) == (2, 2, 0)
+        # all-boilerplate doc -> empty, counts still exact
+        assert out[4].text_clean == ""
+        assert (out[4].n_lines, out[4].n_kept, out[4].n_removed) == (1, 0, 1)
+        # doc 0 had the boiler line TWICE: both occurrences removed
+        assert (out[0].n_lines, out[0].n_kept, out[0].n_removed) == (4, 1, 3)
+
+    def test_min_docs_threshold(self, spark, lined):
+        # at min_docs=4 only the boiler line (4 distinct docs) is removed;
+        # 'shared middle line' (3 docs) survives everywhere
+        out = {r.doc_id: r for r in
+               curation.line_dedup(lined, min_docs=4).collect()}
+        assert out[0].text_clean == "unique opening zero\nshared middle line"
+        assert out[2].text_clean == "shared middle line\nunique closing two"
+
+
 class TestStratifiedSample:
     def test_exact_k_and_rank_contiguity(self, spark, docs):
         out = curation.stratified_sample(docs, "lang", "doc_id", k=2).collect()

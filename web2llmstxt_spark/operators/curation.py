@@ -186,6 +186,65 @@ def stratified_sample(
     )
 
 
+# ----------------------------------------------------- line-level dedup
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-level (paragraph) deduplication, the CCNet/C4 boilerplate
+    remover (public protocol): a line that appears in >= ``min_docs``
+    DISTINCT documents is boilerplate (nav bars, cookie banners, footers)
+    and is stripped from every document; surviving lines are reassembled in
+    their original order.
+
+    Output: (id, n_lines, n_kept, n_removed, text_clean) — exact integers
+    and byte-exact reassembled text, so a DuckDB twin agrees bit-for-bit.
+
+    Scale shape (100 TB): the dup-line table is built by ONE
+    groupBy(md5(line)) with a map-side-combined distinct-doc count, then
+    FILTERED to hashes with >= min_docs docs BEFORE any join — at web scale
+    the boilerplate set is many orders smaller than the line universe, so
+    the second pass is a left-anti join of lines against that reduced set
+    (AQE broadcasts it when it fits). Reassembly is one groupBy(id) whose
+    collect_list holds only the doc's OWN lines — bounded by doc size, never
+    by corpus size. Keys are md5 hashes: uniform, no skewed reducer.
+    """
+    parts = F.split(F.col(text_col), sep)
+    base = docs.select(F.col(id_col), F.size(parts).cast("long").alias("n_lines"))
+    lines = docs.select(
+        F.col(id_col), F.posexplode(parts).alias("pos", "line")
+    ).withColumn("lh", F.md5("line"))
+    dup_hashes = (
+        lines.groupBy("lh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("lh")
+    )
+    kept = lines.join(dup_hashes, "lh", "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    return base.join(clean, id_col, "left").select(
+        F.col(id_col),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
 # ------------------------------------------------------- mixture sampling
 
 

@@ -1499,6 +1499,80 @@ def sql_pii_scrub():
     """
 
 
+#: line-dedup driver surface: 12-token chunk lines, boilerplate planted on
+#: every 3rd/5th doc, a line is boilerplate once >=3 docs carry it
+LINE_CHUNK = 12
+LINE_MIN_DOCS = 3
+BOILER_HEAD = "subscribe to our newsletter for updates"
+BOILER_TAIL = "copyright example site all rights reserved"
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet/C4-style boilerplate-line removal (curation.line_dedup). The
+    flat synthetic docs carry no newlines, so the query re-chunks tokens
+    into 12-token lines and PLANTS boilerplate head/tail lines on every
+    3rd/5th doc — identically in both engines — then strips every line
+    held by >= LINE_MIN_DOCS distinct docs and reassembles in order."""
+    from ..operators import curation
+
+    docs = load(spark, sf_dir, "documents")
+    toks = dedup.tokens_col("text")
+    n_chunks = F.greatest(
+        F.floor((F.size(toks) + LINE_CHUNK - 1) / LINE_CHUNK), F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * LINE_CHUNK + 1, LINE_CHUNK), " "),
+    )
+    d = F.col("doc_id")
+    head = F.when(d % 3 == 0, F.array(F.lit(BOILER_HEAD))).otherwise(
+        F.array().cast("array<string>")
+    )
+    tail = F.when(d % 5 == 0, F.array(F.lit(BOILER_TAIL))).otherwise(
+        F.array().cast("array<string>")
+    )
+    planted = docs.select(
+        d.alias("doc_id"),
+        F.array_join(F.concat(head, chunks, tail), "\n").alias("text"),
+    )
+    return curation.line_dedup(planted, min_docs=LINE_MIN_DOCS)
+
+
+def sql_line_dedup():
+    toks = textstats.whitespace_tokens_sql("text")
+    c = LINE_CHUNK
+    return f"""
+        WITH toksrc AS (SELECT doc_id, {toks} AS t FROM documents),
+        chunked AS (SELECT doc_id,
+            list_transform(range(0, greatest((len(t) + {c - 1}) // {c}, 1)),
+                           i -> array_to_string(t[i*{c}+1:i*{c}+{c}], ' ')) AS ls
+            FROM toksrc),
+        planted AS (SELECT doc_id,
+            (CASE WHEN doc_id % 3 = 0 THEN ['{BOILER_HEAD}']
+                  ELSE []::VARCHAR[] END)
+            || ls ||
+            (CASE WHEN doc_id % 5 = 0 THEN ['{BOILER_TAIL}']
+                  ELSE []::VARCHAR[] END) AS ls
+            FROM chunked),
+        lines AS (SELECT doc_id,
+                         unnest(range(1, len(ls) + 1)) AS pos,
+                         unnest(ls) AS line
+                  FROM planted),
+        dup AS (SELECT md5(line) AS lh FROM lines
+                GROUP BY 1 HAVING count(DISTINCT doc_id) >= {LINE_MIN_DOCS}),
+        kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+                 LEFT JOIN dup d ON md5(l.line) = d.lh WHERE d.lh IS NULL),
+        agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS text_clean
+                FROM kept GROUP BY doc_id)
+        SELECT p.doc_id, len(p.ls)::BIGINT AS n_lines,
+               coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+               (len(p.ls) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+               coalesce(a.text_clean, '') AS text_clean
+        FROM planted p LEFT JOIN agg a USING (doc_id)
+    """
+
+
 REGISTRY: dict[str, tuple] = {
     # name: (spark_builder, oracle_sql_builder or None)
     "frontier_topk": (q_frontier_topk, sql_frontier_topk),
@@ -1543,4 +1617,5 @@ REGISTRY: dict[str, tuple] = {
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
     "mixture_sample": (q_mixture_sample, sql_mixture_sample),
     "pii_scrub": (q_pii_scrub, sql_pii_scrub),
+    "line_dedup": (q_line_dedup, sql_line_dedup),
 }
