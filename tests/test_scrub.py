@@ -39,6 +39,18 @@ def test_counts_and_redaction(spark, pii_rows):
     assert all(out[i].has_pii for i in (0, 1, 2, 3, 5))
 
 
+def test_keep_cols_passthrough(spark, pii_rows):
+    docs = spark.createDataFrame(
+        [(i, t, f"s{i % 2}") for i, t in pii_rows],
+        "doc_id long, text string, src string",
+    )
+    out = scrub.scrub_pii(docs, keep_cols=("src",))
+    assert out.columns == [
+        "doc_id", "src", "n_email", "n_phone", "n_ipv4", "text_clean", "has_pii",
+    ]
+    assert {r.src for r in out.collect()} == {"s0", "s1"}
+
+
 def test_duckdb_twin_bit_parity(spark, pii_rows):
     """The SQL emitter runs the identical chain: every count and the fully
     redacted text agree byte-for-byte across engines."""

@@ -35,13 +35,18 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def scrub_pii(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Redact emails, phone numbers and IPv4 addresses from ``text_col``.
 
-    Output: (id, n_email, n_phone, n_ipv4, has_pii, text_clean). Counts are
-    taken on the text as it stands when that pattern runs (sequential
-    chain), so overlapping PII classes never double-count.
+    Output: (id, *keep_cols, n_email, n_phone, n_ipv4, has_pii, text_clean).
+    Counts are taken on the text as it stands when that pattern runs
+    (sequential chain), so overlapping PII classes never double-count.
+    ``keep_cols`` passes extra columns through untouched (projection only —
+    still zero shuffles).
     """
     text = F.col(text_col)
     counts = []
@@ -54,7 +59,7 @@ def scrub_pii(
         text = F.regexp_replace(text, pat, repl)
     total = sum(F.col(f"n_{n}") for n, _, _ in PII_PATTERNS)
     return docs.select(
-        F.col(id_col), *counts, text.alias("text_clean")
+        F.col(id_col), *keep_cols, *counts, text.alias("text_clean")
     ).withColumn("has_pii", total > 0)
 
 

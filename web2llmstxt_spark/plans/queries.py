@@ -1573,6 +1573,82 @@ def sql_line_dedup():
     """
 
 
+def q_curate_e2e(spark, sf_dir):
+    """Training-data curation pipeline as ONE declarative plan (the
+    curation-family mirror of `pipeline_e2e`): Gopher repetition gate ->
+    benchmark decontamination gate (eval set = doc_id % 23) -> PII scrub ->
+    exact dedup on the scrubbed bytes (lowest doc_id canonical) -> curated
+    (doc_id, lang, n_tokens). Every stage is JVM Column algebra; the
+    decontamination probe is broadcast, the dedup is one uniform md5-keyed
+    window, and Catalyst fuses the doc_id-keyed gate joins."""
+    from pyspark.sql import Window
+
+    from ..operators import curation, scrub
+
+    docs = load(spark, sf_dir, "documents")
+    rep = curation.repetition_stats(docs).select("doc_id", "n_tokens", "keep")
+    bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    cont = curation.decontaminate(docs, bench, n=DECONTAM_N).select(
+        "doc_id", "contaminated"
+    )
+    scrubbed = scrub.scrub_pii(docs, keep_cols=("lang",)).select(
+        "doc_id", "lang", "text_clean"
+    )
+    passed = (
+        scrubbed.join(rep, "doc_id")
+        .join(cont, "doc_id")
+        .filter(F.col("keep") & ~F.col("contaminated"))
+    )
+    w = Window.partitionBy(F.md5("text_clean")).orderBy("doc_id")
+    return (
+        passed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+def sql_curate_e2e():
+    from ..operators import curation, scrub
+
+    toks = textstats.whitespace_tokens_sql("text")
+    grams = curation.ngrams_sql("t", DECONTAM_N)
+    bigrams = curation.ngrams_sql("t", 2, distinct=False)
+    dt_n, dt_d = curation.DUP_TOKEN_MAX
+    tb_n, tb_d = curation.TOP_BIGRAM_MAX
+    _counts, clean = scrub.scrub_sql("text")
+    return f"""
+        WITH toksrc AS (SELECT doc_id, {toks} AS t FROM documents),
+        base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+                        len(list_distinct(t))::BIGINT AS n_distinct_tokens
+                 FROM toksrc),
+        bg AS (SELECT doc_id, unnest({bigrams}) AS bg FROM toksrc),
+        cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+        md AS (SELECT doc_id, max(c)::BIGINT AS top_bigram_n,
+                      sum(c)::BIGINT AS n_bigrams
+               FROM cnt GROUP BY doc_id),
+        rep AS (SELECT b.doc_id, n_tokens,
+                       NOT (((n_tokens - n_distinct_tokens) * {dt_d}
+                             > {dt_n} * n_tokens)
+                            OR (top_bigram_n * {tb_d} > {tb_n} * n_bigrams))
+                           AS keep
+                FROM base b JOIN md USING (doc_id)),
+        gsrc AS (SELECT doc_id, {grams} AS gs FROM toksrc),
+        bench AS (SELECT DISTINCT unnest(gs) AS g FROM gsrc
+                  WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+        corpus AS (SELECT doc_id, unnest(gs) AS g FROM gsrc),
+        cont AS (SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b
+                 ON c.g = b.g),
+        passed AS (SELECT d.doc_id, d.lang, {clean} AS text_clean, r.n_tokens
+                   FROM documents d JOIN rep r USING (doc_id)
+                   WHERE r.keep AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
+        canon AS (SELECT doc_id, lang, n_tokens,
+                         row_number() OVER (PARTITION BY md5(text_clean)
+                                            ORDER BY doc_id) AS rn
+                  FROM passed)
+        SELECT doc_id, lang, n_tokens FROM canon WHERE rn = 1
+    """
+
+
 REGISTRY: dict[str, tuple] = {
     # name: (spark_builder, oracle_sql_builder or None)
     "frontier_topk": (q_frontier_topk, sql_frontier_topk),
@@ -1618,4 +1694,5 @@ REGISTRY: dict[str, tuple] = {
     "mixture_sample": (q_mixture_sample, sql_mixture_sample),
     "pii_scrub": (q_pii_scrub, sql_pii_scrub),
     "line_dedup": (q_line_dedup, sql_line_dedup),
+    "curate_e2e": (q_curate_e2e, sql_curate_e2e),
 }
