@@ -51,6 +51,7 @@ HEADLINE = [
     "pii_scrub",
     "line_dedup",
     "curate_e2e",
+    "snapshot_diff",
 ]
 
 

@@ -1,0 +1,66 @@
+"""Crawl-snapshot diffing — the continuous-recrawl primitive.
+
+A production crawler doesn't run once: it re-crawls, and the interesting
+output of run N+1 is the DELTA against run N — which pages appeared,
+vanished, or changed. The reference is a one-shot tool (no diff surface);
+this extends its crawl model the way a 10^10-URL continuous pipeline needs,
+and it closes the loop with the cuckoo URL-seen filter's delete support
+(`operators/cuckoo.delete_urls`): the invalidation set produced here is
+exactly what gets deleted from the seen filter so changed/removed URLs are
+re-fetchable on the next run.
+
+Scale shape (100 TB): ONE full-outer join keyed by URL — the minimum any
+diff must pay — over (url, md5(content)) projections, so page bytes never
+shuffle; only 32-byte hashes move. Unchanged pages (the overwhelming
+majority between consecutive crawls) are dropped BEFORE the result
+materializes. Snapshots persisted by `state/checkpoint.py` are already
+url-unique (the seen set guarantees it), which this relies on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: change labels, in output order
+ADDED, REMOVED, CHANGED = "added", "removed", "changed"
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    content_col: str = "content",
+) -> DataFrame:
+    """Diff two crawl snapshots. Output: one row per non-identical URL —
+    (key, change in {added, removed, changed}, h_old, h_new) where the
+    hashes are md5 of the page content (null on the missing side).
+
+    Both inputs must be unique on ``key_col`` (crawl snapshots are: the
+    URL-seen set enforces it); a duplicated key would fan the join out.
+    """
+    o = old.select(F.col(key_col).alias("k"), F.md5(content_col).alias("h_old"))
+    n = new.select(F.col(key_col).alias("k"), F.md5(content_col).alias("h_new"))
+    change = (
+        F.when(F.col("h_old").isNull(), ADDED)
+        .when(F.col("h_new").isNull(), REMOVED)
+        .when(F.col("h_old") != F.col("h_new"), CHANGED)
+    )
+    return (
+        o.join(n, "k", "full_outer")
+        .select(
+            F.col("k").alias(key_col),
+            change.alias("change"),
+            "h_old",
+            "h_new",
+        )
+        .filter(F.col("change").isNotNull())
+    )
+
+
+def invalidation_set(diff: DataFrame, key_col: str = "url") -> DataFrame:
+    """URLs the next crawl must treat as UNSEEN: changed pages (stale copy)
+    and removed pages (dead entry). Feed to `cuckoo.delete_urls` — the
+    reason the cuckoo seen-filter variant exists (Bloom cannot delete;
+    COVERAGE.md J1)."""
+    return diff.filter(F.col("change").isin(CHANGED, REMOVED)).select(key_col)

@@ -1573,6 +1573,60 @@ def sql_line_dedup():
     """
 
 
+#: snapshot-diff driver surface: v2 drops every 13th doc, edits every 11th,
+#: adds a /v2 page for every 17th
+SNAP_DROP, SNAP_EDIT, SNAP_ADD = 13, 11, 17
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Continuous-recrawl delta (snapshot.snapshot_diff): synthesize crawl
+    snapshot v1 (all docs) and v2 (every 13th URL removed, every 11th
+    edited, a /v2 page added for every 17th) identically in both engines,
+    then diff on (url, md5(content)) — page bytes never shuffle."""
+    from ..operators import snapshot
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    v1 = docs.select(synth_url_col().alias("url"), F.col("text").alias("content"))
+    kept = docs.filter(d % SNAP_DROP != 0).select(
+        synth_url_col().alias("url"),
+        F.when(d % SNAP_EDIT == 0, F.concat(F.col("text"), F.lit(" updated")))
+        .otherwise(F.col("text"))
+        .alias("content"),
+    )
+    added = docs.filter(d % SNAP_ADD == 0).select(
+        F.concat(synth_url_col(), F.lit("/v2")).alias("url"),
+        F.col("text").alias("content"),
+    )
+    return snapshot.snapshot_diff(v1, kept.unionAll(added))
+
+
+def sql_snapshot_diff():
+    u = SYNTH_URL_SQL
+    return f"""
+        WITH v1 AS (SELECT {u} AS url, text AS content FROM documents),
+        v2 AS (
+            SELECT {u} AS url,
+                   CASE WHEN doc_id % {SNAP_EDIT} = 0 THEN text || ' updated'
+                        ELSE text END AS content
+            FROM documents WHERE doc_id % {SNAP_DROP} != 0
+            UNION ALL
+            SELECT {u} || '/v2' AS url, text AS content
+            FROM documents WHERE doc_id % {SNAP_ADD} = 0),
+        o AS (SELECT url, md5(content) AS h_old FROM v1),
+        n AS (SELECT url, md5(content) AS h_new FROM v2)
+        SELECT coalesce(o.url, n.url) AS url,
+               CASE WHEN h_old IS NULL THEN 'added'
+                    WHEN h_new IS NULL THEN 'removed'
+                    WHEN h_old != h_new THEN 'changed' END AS change,
+               h_old, h_new
+        FROM o FULL OUTER JOIN n USING (url)
+        WHERE (CASE WHEN h_old IS NULL THEN 'added'
+                    WHEN h_new IS NULL THEN 'removed'
+                    WHEN h_old != h_new THEN 'changed' END) IS NOT NULL
+    """
+
+
 def q_curate_e2e(spark, sf_dir):
     """Training-data curation pipeline as ONE declarative plan (the
     curation-family mirror of `pipeline_e2e`): Gopher repetition gate ->
@@ -1695,4 +1749,5 @@ REGISTRY: dict[str, tuple] = {
     "pii_scrub": (q_pii_scrub, sql_pii_scrub),
     "line_dedup": (q_line_dedup, sql_line_dedup),
     "curate_e2e": (q_curate_e2e, sql_curate_e2e),
+    "snapshot_diff": (q_snapshot_diff, sql_snapshot_diff),
 }
