@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import native
-from ..operators import dedup, similarity, textstats
+from ..operators import dedup, graph, pq, similarity, textstats
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1703,6 +1703,119 @@ def sql_curate_e2e():
     """
 
 
+PR_ITERS = 5
+PR_DAMPING = 0.85
+PR_TOPK = 20
+
+
+def q_link_pagerank(spark, sf_dir):
+    """Link-authority frontier prioritization: fixed-iteration PageRank over
+    the deterministic synthetic link graph (operators/graph.py) — the
+    web-scale complement to the reference's per-URL keyword scorer (C1).
+    Top-20 authority pages. Per iteration: one edges⋈ranks equi-join + one
+    groupBy(dst) partial-agg sum; rank state localCheckpoint-truncated."""
+    docs = load(spark, sf_dir, "documents")
+    edges = graph.synthetic_edges(docs)
+    ranks = graph.pagerank(
+        docs.select(F.col("doc_id").alias("id")), edges,
+        iters=PR_ITERS, damping=PR_DAMPING,
+    )
+    return (
+        ranks.select(F.col("id").alias("doc_id"), F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("doc_id"))
+        .limit(PR_TOPK)
+    )
+
+
+def sql_link_pagerank(iters: int = PR_ITERS, d: float = PR_DAMPING,
+                      k: int = PR_TOPK):
+    """Unrolled-iteration DuckDB twin. The synthetic graph has out-degree
+    >= 1 everywhere (graph.synthetic_edges), so the dangling-mass term the
+    Spark operator computes is exactly 0.0 and the twin omits it."""
+    ctes = [
+        "n AS (SELECT count(*) AS c FROM documents)",
+        f"""edges AS (
+            SELECT doc_id AS src, (doc_id * {graph.EDGE_MULT} + j) % (SELECT c FROM n) AS dst
+            FROM documents, (VALUES (1),(2),(3)) t(j)
+            WHERE j <= 1 + (doc_id % {graph.EDGE_FANOUT}))""",
+        "deg AS (SELECT src, count(*) AS g FROM edges GROUP BY src)",
+        "r0 AS (SELECT doc_id AS id, 1.0 / (SELECT c FROM n) AS r FROM documents)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+            SELECT d2.doc_id AS id,
+                   (1.0 - {d}) / (SELECT c FROM n)
+                     + {d} * coalesce(c{i}.s, 0.0) AS r
+            FROM documents d2 LEFT JOIN (
+                SELECT e.dst AS id, sum(p.r / deg.g) AS s
+                FROM edges e JOIN r{i - 1} p ON p.id = e.src
+                             JOIN deg ON deg.src = e.src
+                GROUP BY e.dst) c{i} ON c{i}.id = d2.doc_id)""")
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT id AS doc_id, round(r, 8) AS rank FROM r{iters}
+        ORDER BY round(r, 8) DESC, id ASC LIMIT {k}
+    """
+
+
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (compressed-domain scale path: 64x memory
+    reduction, query never reads the vectors — operators/pq.py). Seed
+    codebooks pinned for oracle determinism; trained-codebook quality is
+    gated by the recall test instead."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    assert len(qvec) == EMB_DIM, f"oracle SQL assumes dim {EMB_DIM}, got {len(qvec)}"
+    corpus = emb.filter(F.col("vec_id") != 0)
+    books = pq.seed_codebooks(corpus)
+    codes = pq.pq_encode(corpus, books)
+    return pq.pq_topk(codes, books, list(qvec), k=10)
+
+
+def sql_ann_pq(m: int = pq.PQ_M, ksub: int = pq.PQ_KSUB, k: int = 10):
+    """DuckDB twin of the full PQ pipeline: seed codebooks (slices of the
+    ksub lowest-id corpus vectors), nearest-codeword assignment with the
+    identical ip(a,a)-2*ip(a,b)+ip(b,b) decomposition and (dist, cid)
+    tie-break, per-query ADC table, summed lookup distances."""
+    sd = EMB_DIM // m
+    l2 = ("(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+          " + list_dot_product({b}, {b}))")
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                   embedding::DOUBLE[] AS sv
+            FROM embeddings WHERE vec_id != 0 ORDER BY vec_id LIMIT {ksub}),
+        subsp AS (SELECT unnest(range({m}))::INT AS sub),
+        cb AS (
+            SELECT t.sub, s.cid,
+                   list_slice(s.sv, t.sub * {sd} + 1, t.sub * {sd} + {sd}) AS cv
+            FROM seeds s, subsp t),
+        vs AS (
+            SELECT e.vec_id, t.sub,
+                   list_slice(e.embedding::DOUBLE[], t.sub * {sd} + 1,
+                              t.sub * {sd} + {sd}) AS vsub
+            FROM embeddings e, subsp t WHERE e.vec_id != 0),
+        assign AS (
+            SELECT v.vec_id, v.sub, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id, v.sub
+                       ORDER BY {l2.format(a='v.vsub', b='c.cv')} ASC,
+                                c.cid ASC) AS rn
+            FROM vs v JOIN cb c ON c.sub = v.sub),
+        qd AS (
+            SELECT c.sub, c.cid,
+                   {l2.format(a="list_slice(q.qe, c.sub * %d + 1, c.sub * %d + %d)"
+                              % (sd, sd, sd), b='c.cv')} AS dq
+            FROM cb c, q)
+        SELECT a.vec_id AS id, round(sum(d.dq), 6) AS adist
+        FROM assign a JOIN qd d ON d.sub = a.sub AND d.cid = a.cid
+        WHERE a.rn = 1
+        GROUP BY a.vec_id
+        ORDER BY round(sum(d.dq), 6) ASC, a.vec_id ASC LIMIT {k}
+    """
+
+
 REGISTRY: dict[str, tuple] = {
     # name: (spark_builder, oracle_sql_builder or None)
     "frontier_topk": (q_frontier_topk, sql_frontier_topk),
@@ -1750,4 +1863,6 @@ REGISTRY: dict[str, tuple] = {
     "line_dedup": (q_line_dedup, sql_line_dedup),
     "curate_e2e": (q_curate_e2e, sql_curate_e2e),
     "snapshot_diff": (q_snapshot_diff, sql_snapshot_diff),
+    "link_pagerank": (q_link_pagerank, sql_link_pagerank),
+    "ann_pq": (q_ann_pq, sql_ann_pq),
 }
