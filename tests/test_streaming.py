@@ -59,3 +59,46 @@ def test_discovered_url_stream_normalizes(spark, tmp_path):
     SC.run_available_now(stream, "cand", str(tmp_path / "ck3"))
     urls = sorted(r.url for r in spark.table("cand").collect())
     assert urls == ["https://ex.com/a", "https://ex.com/b"]
+
+
+def test_seen_gate_dedups_across_restarts(spark, tmp_path):
+    """J1 streaming twin: state survives the query restart via the
+    checkpoint, so a URL seen in run 1 is NOT re-emitted by run 2.
+    (File sink, not memory: only fault-tolerant sinks support recovery.)"""
+    in_dir = tmp_path / "seenin"
+    in_dir.mkdir()
+    ck = str(tmp_path / "ck_seen")
+    out_dir = str(tmp_path / "seenout")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "host string, url string").coalesce(1) \
+            .write.parquet(str(in_dir / name))
+
+    def run_once():
+        stream = spark.readStream.schema("host string, url string") \
+            .option("recursiveFileLookup", "true").parquet(str(in_dir))
+        q = (SC.seen_gate(stream).writeStream.format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ck)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        return sorted(r.url for r in spark.read.parquet(out_dir).collect())
+
+    write_batch("batch1", [
+        ("a.example", "https://a.example/1"),
+        ("a.example", "https://a.example/1"),   # intra-batch dup
+        ("a.example", "https://a.example/2"),
+        ("b.example", "https://b.example/1"),
+    ])
+    got1 = run_once()
+    assert got1 == ["https://a.example/1", "https://a.example/2",
+                    "https://b.example/1"]
+
+    write_batch("batch2", [
+        ("a.example", "https://a.example/1"),   # dup ACROSS restart
+        ("a.example", "https://a.example/3"),
+        ("c.example", "https://c.example/1"),
+    ])
+    got2 = run_once()
+    # run 2 appended ONLY the two never-seen URLs
+    assert got2 == sorted(got1 + ["https://a.example/3",
+                                  "https://c.example/1"])

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -119,6 +120,54 @@ def politeness_gate(urls: DataFrame, capacity_per_host: int) -> DataFrame:
         stateStructType=GATE_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+#: output of seen_gate: first-ever occurrence of each (host, url)
+SEEN_GATE_SCHEMA = StructType(
+    [StructField("host", StringType()), StructField("url", StringType())]
+)
+
+SEEN_STATE_SCHEMA = StructType([StructField("seen", ArrayType(StringType()))])
+
+
+def _seen_fn():
+    def gate(key, pdfs, state: GroupState):
+        host = key[0]
+        seen = set(state.get[0]) if state.exists else set()
+        out = []
+        for pdf in pdfs:
+            for url in pdf["url"]:
+                if url not in seen:
+                    seen.add(url)
+                    out.append((host, url))
+        state.update((sorted(seen),))  # sorted -> deterministic state bytes
+        yield pd.DataFrame(out, columns=["host", "url"])
+
+    return gate
+
+
+def seen_gate(urls: DataFrame) -> DataFrame:
+    """Streaming URL-seen filter: emit each (host, url) the FIRST time it is
+    ever observed — across micro-batches AND across query restarts (the
+    state lives in the streaming checkpoint). The streaming half of J1
+    (ref `llmsgen/crawler/web_crawler.py:215,233 (pyc)`): the batch engine's
+    per-superstep anti-join becomes per-key state keyed by host, the same
+    key the frontier partitions on.
+
+    Scale note: the state payload here is the exact per-host URL list —
+    right for correctness and for hosts' typical 10^2..10^5 URLs; at the
+    10^10-frontier design point the payload swaps to the serialized Bloom
+    bitmap (operators/bloom.py) as a pre-filter with the exact anti-join
+    kept in the batch layer, and per-key TTL eviction
+    (GroupStateTimeout.ProcessingTimeTimeout) bounds dead hosts.
+    """
+    return urls.groupBy("host").applyInPandasWithState(
+        _seen_fn(),
+        outputStructType=SEEN_GATE_SCHEMA,
+        stateStructType=SEEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
