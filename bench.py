@@ -50,6 +50,7 @@ HEADLINE = [
     "mixture_sample",
     "pii_scrub",
     "line_dedup",
+    "substring_dedup",
     "curate_e2e",
     "snapshot_diff",
 ]

@@ -200,3 +200,45 @@ def test_connected_components_converges_early(spark):
         for r in dedup.connected_components(pairs, max_iters=25).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_window_dup_stats_cross_doc_spans(spark):
+    """Substring dedup: only window positions whose hash occurs in >=2
+    DISTINCT docs count as duplicated; short docs emit (0, 0, 0)."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (1, shared + " unique tail one two three"),
+        (2, "prefix words here " + shared),
+        (3, "totally different body with enough tokens to form windows yes"),
+        (4, "short doc"),  # < 8 tokens -> no windows
+        (5, shared),       # exactly one window, fully duplicated
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in dedup.window_dup_stats(df, "text", "doc_id", window=8).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[4].total_windows == 0 and got[4].dup_windows == 0 and got[4].dup_bp == 0
+    # doc 5: 1 window, shared with docs 1 and 2 -> 100% duplicated
+    assert (got[5].total_windows, got[5].dup_windows, got[5].dup_bp) == (1, 1, 10000)
+    # docs 1 and 2 each contain the shared window at one position
+    assert got[1].dup_windows >= 1 and got[2].dup_windows >= 1
+    assert 0 < got[1].dup_bp < 10000
+    # doc 3 shares nothing
+    assert got[3].dup_windows == 0 and got[3].total_windows > 0
+
+
+def test_window_dup_stats_matches_duckdb_twin(spark):
+    import duckdb
+
+    rows = [(i, ("tok%d " % (i % 3)) * 12 + "common run of eight tokens exactly here now") for i in range(30)]
+    rows += [(100, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = (
+        dedup.window_dup_stats(df, "text", "doc_id", window=8)
+        .orderBy("doc_id").toPandas()
+    )
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    ora = con.sql(
+        dedup.window_dup_sql("text", "doc_id", "documents", window=8) + " ORDER BY doc_id"
+    ).df().astype(got.dtypes.to_dict())
+    assert got.reset_index(drop=True).equals(ora.reset_index(drop=True))

@@ -384,3 +384,132 @@ def simhash_sql(text_expr: str, id_expr: str, from_table: str) -> str:
                {chunks}
         FROM alldocs
     """
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup (duplicated-span detection)
+# ---------------------------------------------------------------------------
+
+#: default window width in tokens for substring dedup. Lee et al.
+#: ("Deduplicating Training Data Makes Language Models Better", ACL 2022)
+#: use 50-token windows at corpus scale; the test preset is 8 so the sf0.01
+#: synthetic corpus (short docs) actually produces windows.
+SUBSTR_WINDOW = 8
+
+
+def window_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    window: int = SUBSTR_WINDOW,
+) -> DataFrame:
+    """Sliding token-window hashes: one md5 per window position, stride 1.
+
+    The building block of substring-level exact dedup — doc-level dedup
+    (exact_dedup/minhash) misses the common web case where distinct pages
+    share long boilerplate or quoted runs. A window is the md5 of
+    ``window`` consecutive lowercased whitespace tokens joined by a single
+    space; docs shorter than ``window`` tokens produce no windows.
+
+    Pure Column algebra until the explode — no Python boundary, no shuffle.
+    Output: (id_col, win_hash). At 100 TB the explode multiplies rows by
+    ~tokens-per-doc; only (id, 32-byte hash) ever leaves the scan stage —
+    the text itself never crosses a shuffle.
+    """
+    toks = tokens_col(text_col)
+    n_wins = F.size(toks) - F.lit(window - 1)
+    # sequence(1, 0) would DESCEND in Spark; gate on n_wins >= 1 instead.
+    wins = F.when(
+        n_wins >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(wins).alias("win_hash"))
+
+
+def window_dup_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    window: int = SUBSTR_WINDOW,
+) -> DataFrame:
+    """Per-doc duplicated-span stats from sliding window hashes.
+
+    A window position is *duplicated* when its hash occurs in >= 2 DISTINCT
+    docs (cross-doc duplication, the Lee-et-al. criterion — intra-doc
+    repetition is the repetition_filter's job). Output per doc:
+
+      (doc_id, total_windows, dup_windows, dup_bp)
+
+    where dup_bp = basis points (dup_windows*10000 DIV max(total,1)) —
+    integer arithmetic so the DuckDB twin agrees bit-for-bit with no
+    float-rounding hazard. Docs with < ``window`` tokens emit (0, 0, 0).
+
+    Shuffle profile at 100 TB: one hash-shuffle of (id, hash) pairs for the
+    distinct-doc count, a co-partitioned join back on the same key (no
+    second exchange of the big side), one (id) shuffle for the per-doc
+    rollup. Map-side partial aggregation applies to both groupBys; the
+    document text never leaves the scan.
+    """
+    wins = window_hashes(df, text_col, id_col, window)
+    nd = wins.groupBy("win_hash").agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+    per = (
+        wins.join(nd, "win_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("total_windows"),
+            F.count(F.when(F.col("__nd") >= 2, True)).alias("dup_windows"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("total_windows", F.lit(0)).alias("total_windows"),
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+        )
+        .withColumn(
+            "dup_bp", F.expr("dup_windows * 10000 DIV greatest(total_windows, 1)")
+        )
+    )
+
+
+def window_dup_sql(
+    text_expr: str, id_expr: str, from_table: str, window: int = SUBSTR_WINDOW
+) -> str:
+    """DuckDB twin of window_dup_stats. Same tokenizer (pinned whitespace
+    class via whitespace_tokens_sql), same join-space semantics; DuckDB list
+    slicing t[i:j] is 1-based inclusive-both-ends so a width-w window at i
+    is t[i:i+w-1]."""
+    return f"""
+        WITH toks AS (
+            SELECT {id_expr} AS doc_id, {whitespace_tokens_sql(text_expr)} AS t
+            FROM {from_table}
+        ),
+        wins AS (
+            -- scalar generate_series returns a LIST (empty when stop < start);
+            -- the table-function form cannot take lateral column arguments.
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(t) - {window - 1}, 0)),
+                       i -> md5(array_to_string(t[i:i+{window - 1}], ' ')))) AS win_hash
+            FROM toks
+        ),
+        nd AS (
+            SELECT win_hash, count(DISTINCT doc_id) AS __nd
+            FROM wins GROUP BY win_hash
+        ),
+        per AS (
+            SELECT w.doc_id,
+                   count(*) AS total_windows,
+                   count(*) FILTER (WHERE n.__nd >= 2) AS dup_windows
+            FROM wins w JOIN nd n USING (win_hash)
+            GROUP BY w.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.total_windows, 0)::BIGINT AS total_windows,
+               coalesce(p.dup_windows, 0)::BIGINT AS dup_windows,
+               (coalesce(p.dup_windows, 0) * 10000)
+                   // greatest(coalesce(p.total_windows, 0), 1) AS dup_bp
+        FROM (SELECT {id_expr} AS doc_id FROM {from_table}) d
+        LEFT JOIN per p USING (doc_id)
+    """

@@ -456,6 +456,20 @@ def sql_lsh_pairs():
     """
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Substring-level exact dedup (Lee et al., ACL 2022): sliding
+    token-window hashes -> cross-doc duplicated-span stats per doc.
+    Catches distinct pages sharing long boilerplate/quoted runs that
+    doc-level exact/minhash dedup misses. Integer basis-point output, so
+    both engines agree with zero float-rounding hazard."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.window_dup_stats(docs, "text", "doc_id")
+
+
+def sql_substring_dedup():
+    return dedup.window_dup_sql("text", "doc_id", "documents")
+
+
 def q_jaccard_verify(spark, sf_dir):
     """LSH candidates -> exact n-gram Jaccard verification, with the
     boilerplate-cluster bucket cap (MAX_BUCKET) engaged — the full near-dup
@@ -1861,6 +1875,7 @@ REGISTRY: dict[str, tuple] = {
     "mixture_sample": (q_mixture_sample, sql_mixture_sample),
     "pii_scrub": (q_pii_scrub, sql_pii_scrub),
     "line_dedup": (q_line_dedup, sql_line_dedup),
+    "substring_dedup": (q_substring_dedup, sql_substring_dedup),
     "curate_e2e": (q_curate_e2e, sql_curate_e2e),
     "snapshot_diff": (q_snapshot_diff, sql_snapshot_diff),
     "link_pagerank": (q_link_pagerank, sql_link_pagerank),
