@@ -443,20 +443,29 @@ def window_dup_stats(
     integer arithmetic so the DuckDB twin agrees bit-for-bit with no
     float-rounding hazard. Docs with < ``window`` tokens emit (0, 0, 0).
 
-    Shuffle profile at 100 TB: one hash-shuffle of (id, hash) pairs for the
-    distinct-doc count, a co-partitioned join back on the same key (no
-    second exchange of the big side), one (id) shuffle for the per-doc
-    rollup. Map-side partial aggregation applies to both groupBys; the
-    document text never leaves the scan.
+    Shuffle profile at 100 TB: a LINEAR dataflow so the window-hash explode
+    (the dominant CPU: one md5 per token position) runs exactly once — a
+    count-then-join-back shape would put ``wins`` on both sides of a DAG
+    diamond and Spark would recompute the Generate. Instead: (1) reduce to
+    distinct (doc_id, win_hash, positions) with a combiner-friendly groupBy,
+    (2) the cross-doc distinct-doc count is then just count(*) over a
+    win_hash window partition — plain counting, no collect_set state, safe
+    under boilerplate hashes shared by millions of docs, (3) one (doc_id)
+    rollup. Three exchanges, all on slim (id, 32-byte hash, count) rows;
+    the document text never leaves the scan.
     """
     wins = window_hashes(df, text_col, id_col, window)
-    nd = wins.groupBy("win_hash").agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+    # one row per (doc, hash); `positions` = how many places in the doc
+    reduced = wins.groupBy(id_col, "win_hash").agg(F.count("*").alias("__pos"))
+    nd = F.count("*").over(Window.partitionBy("win_hash"))
     per = (
-        wins.join(nd, "win_hash")
+        reduced.withColumn("__nd", nd)
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("total_windows"),
-            F.count(F.when(F.col("__nd") >= 2, True)).alias("dup_windows"),
+            F.sum("__pos").alias("total_windows"),
+            F.sum(F.when(F.col("__nd") >= 2, F.col("__pos")).otherwise(0)).alias(
+                "dup_windows"
+            ),
         )
     )
     return (
