@@ -102,3 +102,63 @@ def test_seen_gate_dedups_across_restarts(spark, tmp_path):
     # run 2 appended ONLY the two never-seen URLs
     assert got2 == sorted(got1 + ["https://a.example/3",
                                   "https://c.example/1"])
+
+
+def _site_page(url, links, words=12):
+    text = " ".join(f"w{i}" for i in range(words))
+    return (url, "ex.test", "Title " + url, [("text", text, "", 0)],
+            words, links, "text/html", True)
+
+
+def _cc_site(spark):
+    """Tiny site with a known reachable closure: / -> a,b; a -> c; island
+    /zz unreachable; /ext links off-domain (filtered by expand_links)."""
+    from web2llmstxt_spark import schemas
+    rows = [
+        _site_page("https://ex.test/", ["/a", "/b"]),
+        _site_page("https://ex.test/a", ["/c", "https://other.example/x"]),
+        _site_page("https://ex.test/b", ["/a"]),          # re-link: seen dedup
+        _site_page("https://ex.test/c", []),
+        _site_page("https://ex.test/zz", ["/a"]),         # unreachable island
+    ]
+    return spark.createDataFrame(rows, schemas.SITE_PAGES)
+
+
+def test_continuous_crawl_reaches_closure(spark, tmp_path):
+    """The self-feeding streaming loop crawls exactly the reachable set,
+    once per URL, and stops on a no-progress round."""
+    site = _cc_site(spark)
+    pages = SC.continuous_crawl(
+        spark, site, str(tmp_path / "cc"), ["https://ex.test/"],
+        base_url="https://ex.test", base_domain="ex.test",
+    )
+    urls = sorted(r.url for r in pages.select("url").collect())
+    assert urls == [
+        "https://ex.test/", "https://ex.test/a",
+        "https://ex.test/b", "https://ex.test/c",
+    ]  # closure only, no island, no off-domain, NO duplicates
+
+
+def test_continuous_crawl_resumes_without_refetch(spark, tmp_path):
+    """Kill-and-restart: a second driver loop over the same work_dir
+    continues from the checkpointed seen state — the restart fetches the
+    NEXT frontier ring, never refetching finished URLs."""
+    site = _cc_site(spark)
+    wd = str(tmp_path / "cc2")
+    # round 1 only: fetches just the seed
+    first = SC.continuous_crawl(
+        spark, site, wd, ["https://ex.test/"],
+        base_url="https://ex.test", base_domain="ex.test", max_rounds=1,
+    )
+    assert sorted(r.url for r in first.collect()) == ["https://ex.test/"]
+    # "restart": fresh loop, same work_dir/checkpoint, seeds re-planted —
+    # the seen state dedups them; remaining rings crawl exactly once
+    pages = SC.continuous_crawl(
+        spark, site, wd, ["https://ex.test/"],
+        base_url="https://ex.test", base_domain="ex.test",
+    )
+    urls = sorted(r.url for r in pages.select("url").collect())
+    assert urls == [
+        "https://ex.test/", "https://ex.test/a",
+        "https://ex.test/b", "https://ex.test/c",
+    ]

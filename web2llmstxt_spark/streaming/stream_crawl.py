@@ -10,7 +10,12 @@ extensions a continuously-fed frontier needs:
   stream via ``applyInPandasWithState`` (T3 as a stateful streaming op),
 - ``discovered_url_stream``: file-source stream of discovered-URL batches ->
   normalized, deduped candidates (the streaming half of J1/J2; the exact
-  seen-check stays in the batch superstep).
+  seen-check stays in the batch superstep),
+- ``seen_gate``: checkpointed per-host URL-seen state — first-ever occurrence
+  across micro-batches AND query restarts (J1 as a stateful streaming op),
+- ``continuous_crawl``: the full composition — a self-feeding availableNow
+  loop (links dir -> seen_gate -> fetch -> pages + new links) where each
+  drain is one BFS superstep, resumable from the streaming checkpoint.
 
 All testable hermetically with file sources + ``Trigger.AvailableNow`` +
 memory sinks (tests/test_streaming.py).
@@ -204,3 +209,106 @@ def run_available_now(
     )
     q.awaitTermination(300)
     return q
+
+
+# ---------------------------------------------------------------------------
+# Continuous crawl: the full streaming composition
+# ---------------------------------------------------------------------------
+
+def continuous_crawl(
+    spark: SparkSession,
+    site_pages: DataFrame,
+    work_dir: str,
+    seeds: list[str],
+    base_url: str,
+    base_domain: str,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Self-feeding streaming crawl: the T1 superstep loop re-expressed as a
+    checkpointed Structured Streaming drain (engine extension — the
+    reference's "real-time streaming crawling" is an unchecked README TODO).
+
+    Each round is one ``Trigger.AvailableNow`` run of ONE query:
+
+      links dir --readStream--> seen_gate (checkpointed URL-seen state)
+                --foreachBatch--> fetch (corpus join) -> pages sink (append)
+                                  -> expand_links -> NEW files in links dir
+
+    The file source snapshots its input at query start, so links written
+    during round k become round k+1's input — a BFS superstep per drain,
+    with the frontier itself stored as files (the streaming analogue of the
+    batch engine's checkpointed frontier state). The loop stops when a round
+    appends no pages, or after ``max_rounds``.
+
+    Resumability is the point: kill the driver anywhere and rerun — the
+    URL-seen state lives in the streaming checkpoint, so completed work is
+    never refetched, and half-fetched rounds re-emit at-least-once into an
+    append-only pages dir that downstream dedups on url (foreachBatch is
+    at-least-once; the batch engine's desc-cache read-side dedup contract,
+    state/desc_cache.py, applies here too).
+
+    Returns the crawled-pages DataFrame (url, title, content, wc, depth-less:
+    streaming rounds ARE depths but the file sink does not carry them).
+
+    Scale notes: ONE stateful operator per query (chaining a second
+    applyInPandasWithState in the same query is not supported); per-host
+    state partitions on the same host key the batch frontier buckets on;
+    the corpus join inside foreachBatch is the batch TableFetcher — AQE
+    plans each micro-batch independently.
+    """
+    import os
+
+    from ..functions.linkexpand import expand_links
+    from ..operators.frontier import TableFetcher
+
+    links_dir = os.path.join(work_dir, "links")
+    pages_dir = os.path.join(work_dir, "pages")
+    ck_dir = os.path.join(work_dir, "ck")
+    os.makedirs(links_dir, exist_ok=True)
+
+    host_of = F.expr("parse_url(url, 'HOST')")
+    seed_df = spark.createDataFrame(
+        [(u,) for u in seeds], "url string"
+    ).select(host_of.alias("host"), udfs.normalize_url_udf(F.col("url")).alias("url"))
+    seed_df.coalesce(1).write.mode("append").parquet(os.path.join(links_dir, "seed"))
+
+    fetcher = TableFetcher(site_pages)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        fetched = fetcher.fetch(batch.select("url"))
+        ok = fetched.filter(F.col("success"))
+        ok.select("url", "title", "content", "wc").write.mode("append").parquet(
+            pages_dir
+        )
+        links = (
+            expand_links(ok, "out_links", F.lit(base_url), F.lit(base_domain), [])
+            .select("url")
+            .distinct()
+            .select(host_of.alias("host"), "url")
+        )
+        links.write.mode("append").parquet(
+            os.path.join(links_dir, f"round-{batch_id}")
+        )
+
+    def pages_count() -> int:
+        try:
+            return spark.read.parquet(pages_dir).count()
+        except Exception:  # first round: sink dir not created yet
+            return 0
+
+    for _ in range(max_rounds):
+        before = pages_count()
+        stream = spark.readStream.schema("host string, url string").option(
+            "recursiveFileLookup", "true"
+        ).parquet(links_dir)
+        q = (
+            seen_gate(stream)
+            .writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", ck_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if pages_count() == before:
+            break
+    return spark.read.parquet(pages_dir)
