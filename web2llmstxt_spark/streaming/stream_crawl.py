@@ -273,31 +273,35 @@ def continuous_crawl(
     seed_df.coalesce(1).write.mode("append").parquet(os.path.join(links_dir, "seed"))
 
     fetcher = TableFetcher(site_pages)
+    # progress detection must cost O(frontier ring), not O(pages crawled so
+    # far): count the cached ring inside foreachBatch (which runs on the
+    # driver) instead of re-counting the whole pages dir every round.
+    ring = {"fetched": 0}
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        fetched = fetcher.fetch(batch.select("url"))
-        ok = fetched.filter(F.col("success"))
-        ok.select("url", "title", "content", "wc").write.mode("append").parquet(
-            pages_dir
-        )
-        links = (
-            expand_links(ok, "out_links", F.lit(base_url), F.lit(base_domain), [])
-            .select("url")
-            .distinct()
-            .select(host_of.alias("host"), "url")
-        )
-        links.write.mode("append").parquet(
-            os.path.join(links_dir, f"round-{batch_id}")
-        )
-
-    def pages_count() -> int:
+        fetched = fetcher.fetch(batch.select("url")).persist()
         try:
-            return spark.read.parquet(pages_dir).count()
-        except Exception:  # first round: sink dir not created yet
-            return 0
+            ring["fetched"] = fetched.count()
+            if ring["fetched"] == 0:
+                return
+            ok = fetched.filter(F.col("success"))
+            ok.select("url", "title", "content", "wc").write.mode("append").parquet(
+                pages_dir
+            )
+            links = (
+                expand_links(ok, "out_links", F.lit(base_url), F.lit(base_domain), [])
+                .select("url")
+                .distinct()
+                .select(host_of.alias("host"), "url")
+            )
+            links.write.mode("append").parquet(
+                os.path.join(links_dir, f"round-{batch_id}")
+            )
+        finally:
+            fetched.unpersist()
 
     for _ in range(max_rounds):
-        before = pages_count()
+        ring["fetched"] = 0  # stays 0 when the drain has no new files at all
         stream = spark.readStream.schema("host string, url string").option(
             "recursiveFileLookup", "true"
         ).parquet(links_dir)
@@ -309,6 +313,11 @@ def continuous_crawl(
             .start()
         )
         q.awaitTermination()
-        if pages_count() == before:
+        if ring["fetched"] == 0:
             break
-    return spark.read.parquet(pages_dir)
+    try:
+        return spark.read.parquet(pages_dir)
+    except Exception:  # nothing ever succeeded: no sink dir
+        return spark.createDataFrame(
+            [], "url string, title string, content string, wc int"
+        )
