@@ -138,3 +138,53 @@ def test_append_only_two_writer_merge(spark, tmp_path):
     # compaction (single-writer maintenance) keeps the same logical table
     assert w1.compact() == 3
     assert {r.cache_key for r in w1.load().collect()} == {"k1", "k2", "k3"}
+
+
+def _make_fake_model():
+    """Deterministic stand-in for the production LLM client: per-batch
+    callable in the make_describe_udf contract (Arrow batch in/out).
+    Returned as a CLOSURE so cloudpickle ships it by value — executors do
+    not have the tests dir on sys.path (exactly the production shape: a
+    user-supplied callable serialized into the UDF)."""
+    def fake_model(titles, contents, urls):
+        return ("MODEL: " + titles.fillna("")).str.upper()
+    return fake_model
+
+
+def test_injected_describe_fn_reaches_entries(spark, tmp_path):
+    """D5 model seam: generate_llmstxt(describe_fn=...) routes descriptions
+    through the injected per-batch callable instead of the fallback."""
+    corpus = generate_corpus(seed=42, n_hosts=1, pages_per_host=20)
+    base = corpus.seeds[0][1]
+    site = _site(spark, corpus)
+    r = generate_llmstxt(
+        spark, site, base, str(tmp_path / "ai0"), max_pages=6,
+        describe_fn=_make_fake_model(),
+    )
+    assert len(r["entries"]) > 0
+    for e in r["entries"]:
+        assert e["description"].startswith("MODEL: ")
+        assert e["description"] == ("MODEL: " + (e["title"] or "")).upper()
+
+
+def test_injected_model_sees_only_cache_misses(spark, tmp_path):
+    """check-before-generate with a real model seam: the warm run writes 0
+    new cache rows (the injected model is never consulted for hits) and
+    yields byte-identical entries."""
+    corpus = generate_corpus(seed=43, n_hosts=1, pages_per_host=20)
+    base = corpus.seeds[0][1]
+    site = _site(spark, corpus)
+    cache_dir = str(tmp_path / "ai_cache")
+    r1 = generate_llmstxt(
+        spark, site, base, str(tmp_path / "ai1"), max_pages=6,
+        desc_cache_dir=cache_dir, describe_fn=_make_fake_model(),
+    )
+    r2 = generate_llmstxt(
+        spark, site, base, str(tmp_path / "ai2"), max_pages=6,
+        desc_cache_dir=cache_dir, describe_fn=_make_fake_model(),
+    )
+    assert r1["desc_cache_new"] == len(r1["entries"]) > 0
+    assert r2["desc_cache_new"] == 0
+    key = lambda r: [(e["url"], e["description"], e["index"]) for e in r["entries"]]
+    assert key(r1) == key(r2)
+    assert all(e["description"].startswith("MODEL: ") for e in r2["entries"])

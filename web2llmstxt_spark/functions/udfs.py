@@ -85,6 +85,31 @@ def describe_udf(titles: pd.Series, contents: pd.Series, urls: pd.Series) -> pd.
     )
 
 
+def make_describe_udf(describe_batch):
+    """Injectable D5 model seam: wrap a per-batch description callable into
+    the same Arrow-batched pandas UDF shape as the deterministic default.
+
+    ``describe_batch(titles, contents, urls) -> pd.Series[str]`` receives
+    whole Arrow batches (the reference's X1 batch+threadpool map,
+    llmsgen/generator/llms_generator.py:511-570 — its ThreadPoolExecutor
+    over batch_size-sized chunks becomes Spark's executor-parallel Arrow
+    batches). The production AI path plugs in here: a callable that opens
+    one HTTP session per batch and calls the LLM endpoint with the
+    urllib3-style retry policy (operators/retry.py); it must be picklable
+    (module-level function or closure over picklable state). The T4
+    description cache (state/desc_cache.py) composes upstream so only cache
+    misses ever reach the model.
+    """
+
+    @pandas_udf(StringType())
+    def injected_describe_udf(
+        titles: pd.Series, contents: pd.Series, urls: pd.Series
+    ) -> pd.Series:
+        return describe_batch(titles, contents, urls)
+
+    return injected_describe_udf
+
+
 @pandas_udf(StringType())
 def categorize_udf(urls: pd.Series, titles: pd.Series, contents: pd.Series) -> pd.Series:
     """G1 section router. Ref: llmsgen/utils/text_utils.py:265-302."""

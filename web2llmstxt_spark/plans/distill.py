@@ -20,17 +20,25 @@ from ..functions import udfs
 FULL_TEXT_ONLY_DESC = "N/A (full_text_only mode)"
 
 
-def describe_pages(pages: DataFrame, full_text_only: bool = False) -> DataFrame:
+def describe_pages(
+    pages: DataFrame, full_text_only: bool = False, describe_fn=None
+) -> DataFrame:
     """pages -> llms entries (url, title, description, word_count, index).
 
     ``index`` preserves crawl order (the reference builds entries in page
     order; entry ``index`` field, llmsgen/generator/llms_generator.py:115
-    (pyc)).
+    (pyc)). ``describe_fn`` is the injectable D5 model seam (a per-batch
+    callable, see udfs.make_describe_udf); None keeps the shipped v2
+    deterministic fallback.
     """
     if full_text_only:
         desc = F.lit(FULL_TEXT_ONLY_DESC)
     else:
-        desc = udfs.describe_udf(F.col("title"), F.col("content"), F.col("url"))
+        d_udf = (
+            udfs.make_describe_udf(describe_fn) if describe_fn is not None
+            else udfs.describe_udf
+        )
+        desc = d_udf(F.col("title"), F.col("content"), F.col("url"))
     return pages.select(
         "url",
         "title",

@@ -46,8 +46,14 @@ def generate_llmstxt(
     output_style: str = "v2",
     collect_entries: bool = True,
     seen_filter: str = "bloom",
+    describe_fn=None,
 ) -> dict:
     """Returns {'paths': [...], 'metadata': {...}, 'entries': [...], 'pages': [...]}.
+
+    ``describe_fn``: injectable D5 model (a per-batch callable wrapped by
+    udfs.make_describe_udf — the production LLM client plugs in here);
+    None keeps the shipped v2 deterministic fallback. Composes with
+    ``desc_cache_dir`` so only cache misses reach the model.
 
     ``collect_entries=False`` keeps the ENTIRE v2 text path O(1) on the
     driver: llms.txt streams category-grouped from toLocalIterator, and
@@ -120,7 +126,9 @@ def generate_llmstxt(
         from ..state.desc_cache import DescriptionCache, describe_with_cache
 
         cache = DescriptionCache(spark, desc_cache_dir)
-        entries_df, new_cache = describe_with_cache(pages_df, cache.load())
+        entries_df, new_cache = describe_with_cache(
+            pages_df, cache.load(), describe_fn=describe_fn
+        )
         # merge_and_save is append-only (new delta dir, never rewrites the
         # files entries' lineage reads), so this checkpoint is not a
         # correctness requirement anymore — it stays because entries_df is
@@ -130,7 +138,9 @@ def generate_llmstxt(
         entries_df = entries_df.localCheckpoint(eager=True)
         desc_cache_new = cache.merge_and_save(new_cache)
     else:
-        entries_df = distill.describe_pages(pages_df, full_text_only=full_text_only)
+        entries_df = distill.describe_pages(
+            pages_df, full_text_only=full_text_only, describe_fn=describe_fn
+        )
     entries_df = distill.categorize_entries(entries_df, pages_df)
 
     # Driver materialization is BOUNDED (round-1 fix): entries carry no page

@@ -44,7 +44,7 @@ def cache_key_col(url, title, content):
 
 
 def describe_with_cache(
-    pages: DataFrame, cache: DataFrame
+    pages: DataFrame, cache: DataFrame, describe_fn=None
 ) -> tuple[DataFrame, DataFrame]:
     """pages -> (entries, new_cache_rows).
 
@@ -53,7 +53,10 @@ def describe_with_cache(
     a hit and a recompute agree; tested in test_desc_cache).
     new_cache_rows: (cache_key, description) for the misses only — the
     write-through delta. A fully-warm cache yields 0 rows here (the
-    check-before-generate guarantee).
+    check-before-generate guarantee). ``describe_fn`` injects the D5 model
+    (udfs.make_describe_udf); only cache MISSES ever reach it — the
+    check-before-generate contract the reference's AI path relies on
+    (models/client.py:68-92).
     """
     keyed = pages.withColumn(
         "cache_key", cache_key_col(F.col("url"), F.col("title"), F.col("content"))
@@ -61,9 +64,13 @@ def describe_with_cache(
     hits = keyed.join(cache, "cache_key").select(
         "url", "title", "description", "word_count", F.col("rank").alias("index")
     )
+    d_udf = (
+        udfs.make_describe_udf(describe_fn) if describe_fn is not None
+        else udfs.describe_udf
+    )
     misses = keyed.join(cache, "cache_key", "left_anti").withColumn(
         "description",
-        udfs.describe_udf(F.col("title"), F.col("content"), F.col("url")),
+        d_udf(F.col("title"), F.col("content"), F.col("url")),
     )
     new_cache = misses.select("cache_key", "description")
     entries = hits.unionByName(
