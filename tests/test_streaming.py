@@ -162,3 +162,28 @@ def test_continuous_crawl_resumes_without_refetch(spark, tmp_path):
         "https://ex.test/", "https://ex.test/a",
         "https://ex.test/b", "https://ex.test/c",
     ]
+
+
+def test_continuous_crawl_politeness_defers_and_completes(spark, tmp_path):
+    """capacity_per_host=2: every reachable URL is still crawled exactly
+    once, but over MORE rounds — the over-capacity remainder survives in the
+    pending dir between rounds (checkpointed frontier remainder)."""
+    import glob
+    from web2llmstxt_spark import schemas
+    # root fans out to 5 children at once: with cap 2 the ring must defer
+    rows = [_site_page("https://ex.test/", [f"/p{i}" for i in range(5)])]
+    rows += [_site_page(f"https://ex.test/p{i}", []) for i in range(5)]
+    site = spark.createDataFrame(rows, schemas.SITE_PAGES)
+    wd = str(tmp_path / "cc3")
+    pages = SC.continuous_crawl(
+        spark, site, wd, ["https://ex.test/"],
+        base_url="https://ex.test", base_domain="ex.test",
+        capacity_per_host=2,
+    )
+    urls = sorted(r.url for r in pages.select("url").collect())
+    assert urls == ["https://ex.test/"] + [f"https://ex.test/p{i}" for i in range(5)]
+    # deferral actually happened: pending dirs were written
+    assert glob.glob(str(tmp_path / "cc3" / "pending" / "round-*"))
+    # politeness held per round: 6 pages over cap 2 needs >= 3 fetch rounds,
+    # visible as >= 3 links-round dirs (one per fetching superstep)
+    assert len(glob.glob(str(tmp_path / "cc3" / "links" / "round-*"))) >= 3

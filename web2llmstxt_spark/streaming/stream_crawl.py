@@ -223,6 +223,7 @@ def continuous_crawl(
     base_url: str,
     base_domain: str,
     max_rounds: int = 16,
+    capacity_per_host: int | None = None,
 ) -> DataFrame:
     """Self-feeding streaming crawl: the T1 superstep loop re-expressed as a
     checkpointed Structured Streaming drain (engine extension — the
@@ -231,38 +232,56 @@ def continuous_crawl(
     Each round is one ``Trigger.AvailableNow`` run of ONE query:
 
       links dir --readStream--> seen_gate (checkpointed URL-seen state)
-                --foreachBatch--> fetch (corpus join) -> pages sink (append)
+                --foreachBatch--> [+ deferred frontier] -> politeness split
+                                  -> fetch (corpus join) -> pages sink
                                   -> expand_links -> NEW files in links dir
+                                  -> over-capacity URLs -> pending dir
 
     The file source snapshots its input at query start, so links written
     during round k become round k+1's input — a BFS superstep per drain,
     with the frontier itself stored as files (the streaming analogue of the
-    batch engine's checkpointed frontier state). The loop stops when a round
-    appends no pages, or after ``max_rounds``.
+    batch engine's checkpointed frontier state). The loop stops when a
+    round has nothing to fetch and nothing deferred, or after
+    ``max_rounds``.
 
-    Resumability is the point: kill the driver anywhere and rerun — the
-    URL-seen state lives in the streaming checkpoint, so completed work is
-    never refetched, and half-fetched rounds re-emit at-least-once into an
-    append-only pages dir that downstream dedups on url (foreachBatch is
-    at-least-once; the batch engine's desc-cache read-side dedup contract,
-    state/desc_cache.py, applies here too).
+    ``capacity_per_host`` is the T3 politeness budget: at most that many
+    fetches per host per round (deterministic per-host url order). The
+    over-capacity remainder is written to a ``pending/round-k`` dir INSIDE
+    the micro-batch and consumed by the next round — a checkpointed
+    frontier remainder, so politeness deferral survives a driver kill
+    exactly like the seen state does. Rounds that receive no new gate
+    output still drain pending (the driver invokes the batch step directly
+    with an empty candidate set).
 
-    Returns the crawled-pages DataFrame (url, title, content, wc, depth-less:
-    streaming rounds ARE depths but the file sink does not carry them).
+    Resumability is the point: the URL-seen state lives in the streaming
+    checkpoint and commits atomically AFTER foreachBatch succeeds, so a
+    crash mid-fetch replays the whole batch (at-least-once into an
+    append-only pages dir that downstream dedups on url — the batch
+    engine's desc-cache read-side dedup contract, state/desc_cache.py,
+    applies here too); a URL can never be marked seen without its fetch
+    round having completed.
+
+    Returns the crawled-pages DataFrame (url, title, content, wc).
 
     Scale notes: ONE stateful operator per query (chaining a second
     applyInPandasWithState in the same query is not supported); per-host
-    state partitions on the same host key the batch frontier buckets on;
-    the corpus join inside foreachBatch is the batch TableFetcher — AQE
-    plans each micro-batch independently.
+    state partitions on the same host key the batch frontier buckets on
+    AND the same key the politeness row_number window partitions on, so
+    the split reuses the gate's grouping; the corpus join inside
+    foreachBatch is the batch TableFetcher — AQE plans each micro-batch
+    independently.
     """
+    import glob as _glob
     import os
+
+    from pyspark.sql import Window
 
     from ..functions.linkexpand import expand_links
     from ..operators.frontier import TableFetcher
 
     links_dir = os.path.join(work_dir, "links")
     pages_dir = os.path.join(work_dir, "pages")
+    pending_dir = os.path.join(work_dir, "pending")
     ck_dir = os.path.join(work_dir, "ck")
     os.makedirs(links_dir, exist_ok=True)
 
@@ -273,16 +292,47 @@ def continuous_crawl(
     seed_df.coalesce(1).write.mode("append").parquet(os.path.join(links_dir, "seed"))
 
     fetcher = TableFetcher(site_pages)
+
+    def latest_pending() -> DataFrame | None:
+        rounds = sorted(
+            int(os.path.basename(d).split("-")[1])
+            for d in _glob.glob(os.path.join(pending_dir, "round-*"))
+        )
+        if not rounds:
+            return None
+        return spark.read.parquet(
+            os.path.join(pending_dir, f"round-{rounds[-1]}")
+        )
+
     # progress detection must cost O(frontier ring), not O(pages crawled so
     # far): count the cached ring inside foreachBatch (which runs on the
     # driver) instead of re-counting the whole pages dir every round.
-    ring = {"fetched": 0}
+    ring = {"todo": 0, "round": 0}
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        fetched = fetcher.fetch(batch.select("url")).persist()
+        todo = batch.select("host", "url")
+        pending = latest_pending()
+        if pending is not None:
+            todo = todo.unionByName(pending)
+        k = ring["round"]
+        n_defer = 0
+        if capacity_per_host is not None:
+            w = Window.partitionBy("host").orderBy("url")
+            ranked = todo.withColumn("__r", F.row_number().over(w)).persist()
+            now = ranked.filter(F.col("__r") <= capacity_per_host).drop("__r")
+            deferred = ranked.filter(F.col("__r") > capacity_per_host).drop("__r")
+            n_defer = deferred.count()
+            # overwrite => idempotent under micro-batch replay
+            deferred.write.mode("overwrite").parquet(
+                os.path.join(pending_dir, f"round-{k}")
+            )
+        else:
+            ranked = None
+            now = todo
+        fetched = fetcher.fetch(now.select("url")).persist()
         try:
-            ring["fetched"] = fetched.count()
-            if ring["fetched"] == 0:
+            ring["todo"] = fetched.count() + n_defer
+            if fetched.count() == 0:
                 return
             ok = fetched.filter(F.col("success"))
             ok.select("url", "title", "content", "wc").write.mode("append").parquet(
@@ -295,25 +345,40 @@ def continuous_crawl(
                 .select(host_of.alias("host"), "url")
             )
             links.write.mode("append").parquet(
-                os.path.join(links_dir, f"round-{batch_id}")
+                os.path.join(links_dir, f"round-{k}")
             )
         finally:
             fetched.unpersist()
+            if ranked is not None:
+                ranked.unpersist()
 
-    for _ in range(max_rounds):
-        ring["fetched"] = 0  # stays 0 when the drain has no new files at all
+    empty_cand = spark.createDataFrame([], "host string, url string")
+    for k in range(max_rounds):
+        ring["todo"] = 0  # stays 0 when the drain has no new files at all
+        ring["round"] = k
+        called = {"yes": False}
+
+        def batch_entry(b: DataFrame, bid: int) -> None:
+            called["yes"] = True
+            process_batch(b, bid)
+
         stream = spark.readStream.schema("host string, url string").option(
             "recursiveFileLookup", "true"
         ).parquet(links_dir)
         q = (
             seen_gate(stream)
-            .writeStream.foreachBatch(process_batch)
+            .writeStream.foreachBatch(batch_entry)
             .option("checkpointLocation", ck_dir)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        if ring["fetched"] == 0:
+        if not called["yes"]:
+            # no new gate output this round; pending may still hold work
+            if latest_pending() is None:
+                break
+            process_batch(empty_cand, -1)
+        if ring["todo"] == 0:
             break
     try:
         return spark.read.parquet(pages_dir)
