@@ -51,6 +51,7 @@ HEADLINE = [
     "pii_scrub",
     "line_dedup",
     "substring_dedup",
+    "substring_scrub",
     "curate_e2e",
     "snapshot_diff",
 ]

@@ -242,3 +242,42 @@ def test_window_dup_stats_matches_duckdb_twin(spark):
         dedup.window_dup_sql("text", "doc_id", "documents", window=8) + " ORDER BY doc_id"
     ).df().astype(got.dtypes.to_dict())
     assert got.reset_index(drop=True).equals(ora.reset_index(drop=True))
+
+
+def test_remove_duplicated_spans_cuts_only_covered_tokens(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (1, "intro words first " + shared + " tail xyz"),
+        (2, shared),
+        (3, "independent body with enough tokens to form several windows ok"),
+        (4, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in
+           dedup.remove_duplicated_spans(df, "text", "doc_id", window=8).collect()}
+    # doc 2 is entirely one duplicated window -> fully scrubbed
+    assert got[2].clean_text == "" and got[2].kept_tokens == 0
+    # doc 1 keeps its unique prefix/suffix, loses exactly the shared 8 tokens
+    assert got[1].clean_text == "intro words first tail xyz"
+    assert got[1].removed_tokens == 8
+    # untouched docs round-trip (lowercased token join)
+    assert got[3].removed_tokens == 0
+    assert got[3].clean_text == rows[2][1]
+    assert got[4].clean_text == "tiny" and got[4].removed_tokens == 0
+
+
+def test_remove_duplicated_spans_matches_duckdb_twin(spark):
+    import duckdb
+
+    rows = [(i, f"head{i % 4} " * 3 + "one common run of eight exact tokens here " + f"tail{i}")
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = (dedup.remove_duplicated_spans(df, "text", "doc_id", window=8)
+           .orderBy("doc_id").toPandas())
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    ora = con.sql(
+        dedup.remove_spans_sql("text", "doc_id", "documents", window=8)
+        + " ORDER BY doc_id"
+    ).df().astype(got.dtypes.to_dict())
+    assert got.reset_index(drop=True).equals(ora.reset_index(drop=True))

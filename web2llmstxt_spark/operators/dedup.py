@@ -522,3 +522,126 @@ def window_dup_sql(
         FROM (SELECT {id_expr} AS doc_id FROM {from_table}) d
         LEFT JOIN per p USING (doc_id)
     """
+
+
+def remove_duplicated_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    window: int = SUBSTR_WINDOW,
+) -> DataFrame:
+    """The curation ACTION behind window_dup_stats: cut every token covered
+    by a cross-doc duplicated window (Lee et al. ACL 2022 remove step) and
+    reassemble the survivors.
+
+    Token t (1-based) is covered iff some duplicated window position p has
+    p <= t <= p + window - 1. Output: (doc_id, clean_text, removed_tokens,
+    kept_tokens); clean_text joins surviving tokens with single spaces
+    (token-sequence semantics — original whitespace is not preserved, same
+    as the paper's tokenized pipeline).
+
+    Shape at 100 TB: the same linear window-hash flow as window_dup_stats;
+    per-doc duplicated POSITIONS come back as one small array via
+    collect_list (bounded by windows-per-doc, i.e. doc length — the one
+    per-doc array this op fundamentally needs), then the mask is pure
+    Column algebra (exists() over the positions per token; production docs
+    with pathological dup density would pre-merge positions into ranges —
+    O(n·|dup_pos|) is the simple form). The text column is touched only in
+    the final join-back; it never crosses the hash shuffles.
+    """
+    toks = tokens_col(text_col)
+    n_wins = F.size(toks) - F.lit(window - 1)
+    pos_hash = F.when(
+        n_wins >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.array_join(F.slice(toks, i, window), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    wins = df.select(
+        F.col(id_col), F.explode(pos_hash).alias("w")
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("win_hash"))
+
+    # same linear trick as window_dup_stats: reduce, then window-count
+    reduced = wins.groupBy(id_col, "win_hash").agg(
+        F.collect_list("pos").alias("__poss")
+    )
+    nd = F.count("*").over(Window.partitionBy("win_hash"))
+    dup_pos = (
+        reduced.withColumn("__nd", nd)
+        .filter(F.col("__nd") >= 2)
+        .select(F.col(id_col), F.explode("__poss").alias("pos"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("dup_pos"))
+    )
+
+    joined = df.join(dup_pos, id_col, "left")
+    t2 = tokens_col(text_col)
+    dp = F.coalesce(F.col("dup_pos"), F.array().cast("array<int>"))
+    covered = lambda t: F.exists(
+        dp, lambda p: (p <= t) & (t <= p + F.lit(window - 1))
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size(t2)), lambda t: ~covered(t)
+    )
+    clean = F.array_join(F.transform(kept, lambda i: F.element_at(t2, i)), " ")
+    return joined.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        (F.size(t2) - F.size(kept)).cast("long").alias("removed_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+    )
+
+
+def remove_spans_sql(
+    text_expr: str, id_expr: str, from_table: str, window: int = SUBSTR_WINDOW
+) -> str:
+    """DuckDB twin of remove_duplicated_spans (nested list lambdas)."""
+    return f"""
+        WITH toks AS (
+            SELECT {id_expr} AS doc_id, {whitespace_tokens_sql(text_expr)} AS t
+            FROM {from_table}
+        ),
+        wins AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(t[i:i+{window - 1}], ' ')) AS win_hash
+            FROM (
+                SELECT doc_id,
+                       unnest(generate_series(1, greatest(len(t) - {window - 1}, 0))) AS i,
+                       t
+                FROM toks
+            )
+        ),
+        reduced AS (
+            SELECT doc_id, win_hash, list(pos) AS poss
+            FROM wins GROUP BY doc_id, win_hash
+        ),
+        dup AS (
+            SELECT doc_id, unnest(poss) AS pos
+            FROM (
+                SELECT doc_id, poss,
+                       count(*) OVER (PARTITION BY win_hash) AS nd
+                FROM reduced
+            ) WHERE nd >= 2
+        ),
+        dp AS (
+            SELECT doc_id, list_sort(list(pos)) AS dup_pos
+            FROM dup GROUP BY doc_id
+        ),
+        assembled AS (
+            SELECT t.doc_id, t.t,
+                   coalesce(d.dup_pos, []) AS dup_pos,
+                   list_filter(
+                       generate_series(1, len(t.t)),
+                       x -> len(list_filter(coalesce(d.dup_pos, []),
+                                            p -> p <= x AND x <= p + {window - 1})) = 0
+                   ) AS kept
+            FROM toks t LEFT JOIN dp d USING (doc_id)
+        )
+        SELECT doc_id,
+               coalesce(array_to_string(list_transform(kept, i -> t[i]), ' '), '') AS clean_text,
+               (len(t) - len(kept))::BIGINT AS removed_tokens,
+               len(kept)::BIGINT AS kept_tokens
+        FROM assembled
+    """

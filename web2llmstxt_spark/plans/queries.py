@@ -470,6 +470,18 @@ def sql_substring_dedup():
     return dedup.window_dup_sql("text", "doc_id", "documents")
 
 
+def q_substring_scrub(spark, sf_dir):
+    """The remove step behind substring_dedup: cut every token covered by a
+    cross-doc duplicated window and reassemble the survivors (Lee et al.
+    ACL 2022). Token-sequence semantics; engine-exact string output."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.remove_duplicated_spans(docs, "text", "doc_id")
+
+
+def sql_substring_scrub():
+    return dedup.remove_spans_sql("text", "doc_id", "documents")
+
+
 def q_jaccard_verify(spark, sf_dir):
     """LSH candidates -> exact n-gram Jaccard verification, with the
     boilerplate-cluster bucket cap (MAX_BUCKET) engaged — the full near-dup
@@ -1876,6 +1888,7 @@ REGISTRY: dict[str, tuple] = {
     "pii_scrub": (q_pii_scrub, sql_pii_scrub),
     "line_dedup": (q_line_dedup, sql_line_dedup),
     "substring_dedup": (q_substring_dedup, sql_substring_dedup),
+    "substring_scrub": (q_substring_scrub, sql_substring_scrub),
     "curate_e2e": (q_curate_e2e, sql_curate_e2e),
     "snapshot_diff": (q_snapshot_diff, sql_snapshot_diff),
     "link_pagerank": (q_link_pagerank, sql_link_pagerank),
