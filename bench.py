@@ -52,6 +52,7 @@ HEADLINE = [
     "line_dedup",
     "substring_dedup",
     "substring_scrub",
+    "bm25_search",
     "curate_e2e",
     "snapshot_diff",
 ]

@@ -281,3 +281,36 @@ def test_remove_duplicated_spans_matches_duckdb_twin(spark):
         + " ORDER BY doc_id"
     ).df().astype(got.dtypes.to_dict())
     assert got.reset_index(drop=True).equals(ora.reset_index(drop=True))
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    from web2llmstxt_spark.operators import bm25
+
+    rows = [
+        (1, "spark shuffle spark shuffle exchange partition stage"),
+        (2, "spark appears once among many other unrelated words here now"),
+        (3, "entirely different vocabulary about cooking pasta tonight"),
+        (4, "shuffle shuffle shuffle shuffle dance moves"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = bm25.bm25_topk(df, "spark shuffle", k=3).collect()
+    ids = [r.doc_id for r in got]
+    assert ids[0] == 1                 # matches BOTH terms, repeatedly
+    assert 3 not in ids                # zero-term doc never surfaces
+    assert all(got[i].score >= got[i + 1].score for i in range(len(got) - 1))
+
+
+def test_bm25_matches_duckdb_twin(spark):
+    import duckdb
+    from web2llmstxt_spark.operators import bm25
+
+    rows = [(i, f"alpha beta{i % 5} gamma " * (1 + i % 3) + "spark " * (i % 4))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = bm25.bm25_topk(df, "spark gamma", k=7).toPandas()
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    ora = con.sql(
+        bm25.bm25_sql("spark gamma", "text", "doc_id", "documents", k=7)
+    ).df().astype(got.dtypes.to_dict())
+    assert got.reset_index(drop=True).equals(ora.reset_index(drop=True))

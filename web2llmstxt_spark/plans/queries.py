@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import native
-from ..operators import dedup, graph, pq, similarity, textstats
+from ..operators import bm25, dedup, graph, pq, similarity, textstats
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -480,6 +480,20 @@ def q_substring_scrub(spark, sf_dir):
 
 def sql_substring_scrub():
     return dedup.remove_spans_sql("text", "doc_id", "documents")
+
+
+BM25_QUERY = "spark shuffle partition window"  # terms from the corpus vocab
+
+
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 lexical top-k (operators/bm25.py) — the sparse-retrieval
+    complement to the dense ANN rows; deterministic rounded cut."""
+    docs = load(spark, sf_dir, "documents")
+    return bm25.bm25_topk(docs, BM25_QUERY, "text", "doc_id", k=10)
+
+
+def sql_bm25_search():
+    return bm25.bm25_sql(BM25_QUERY, "text", "doc_id", "documents", k=10)
 
 
 def q_jaccard_verify(spark, sf_dir):
@@ -1889,6 +1903,7 @@ REGISTRY: dict[str, tuple] = {
     "line_dedup": (q_line_dedup, sql_line_dedup),
     "substring_dedup": (q_substring_dedup, sql_substring_dedup),
     "substring_scrub": (q_substring_scrub, sql_substring_scrub),
+    "bm25_search": (q_bm25_search, sql_bm25_search),
     "curate_e2e": (q_curate_e2e, sql_curate_e2e),
     "snapshot_diff": (q_snapshot_diff, sql_snapshot_diff),
     "link_pagerank": (q_link_pagerank, sql_link_pagerank),
