@@ -443,23 +443,29 @@ def window_dup_stats(
     integer arithmetic so the DuckDB twin agrees bit-for-bit with no
     float-rounding hazard. Docs with < ``window`` tokens emit (0, 0, 0).
 
-    Shuffle profile at 100 TB: a LINEAR dataflow so the window-hash explode
-    (the dominant CPU: one md5 per token position) runs exactly once — a
-    count-then-join-back shape would put ``wins`` on both sides of a DAG
-    diamond and Spark would recompute the Generate. Instead: (1) reduce to
-    distinct (doc_id, win_hash, positions) with a combiner-friendly groupBy,
-    (2) the cross-doc distinct-doc count is then just count(*) over a
-    win_hash window partition — plain counting, no collect_set state, safe
-    under boilerplate hashes shared by millions of docs, (3) one (doc_id)
-    rollup. Three exchanges, all on slim (id, 32-byte hash, count) rows;
-    the document text never leaves the scan.
+    Shuffle profile at 100 TB: the window-hash explode (the dominant CPU:
+    one md5 per token position) runs exactly once — ``reduced`` (one slim
+    (doc_id, 32-byte hash, count) row per doc-hash pair) is persisted
+    MEMORY_AND_DISK before fanning into the count and the join-back, so the
+    DAG diamond never recomputes the Generate. The per-hash doc count is a
+    plain ``groupBy`` — map-side partial aggregation means a boilerplate
+    8-gram shared by millions of docs (cookie banners: CERTAIN at web
+    scale) reduces to <= one row per map task before the shuffle, where a
+    window-function count would sort that hash's entire row set in one
+    straggler task (WindowExec has no combiner); the join back on win_hash
+    is AQE-skew-splittable. One (doc_id) rollup closes it; the document
+    text never leaves the scan.
     """
+    from pyspark.storagelevel import StorageLevel
+
     wins = window_hashes(df, text_col, id_col, window)
     # one row per (doc, hash); `positions` = how many places in the doc
-    reduced = wins.groupBy(id_col, "win_hash").agg(F.count("*").alias("__pos"))
-    nd = F.count("*").over(Window.partitionBy("win_hash"))
+    reduced = wins.groupBy(id_col, "win_hash").agg(
+        F.count("*").alias("__pos")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nd = reduced.groupBy("win_hash").agg(F.count("*").alias("__nd"))
     per = (
-        reduced.withColumn("__nd", nd)
+        reduced.join(nd, "win_hash")
         .groupBy(id_col)
         .agg(
             F.sum("__pos").alias("total_windows"),
@@ -563,14 +569,17 @@ def remove_duplicated_spans(
         F.col(id_col), F.explode(pos_hash).alias("w")
     ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("win_hash"))
 
-    # same linear trick as window_dup_stats: reduce, then window-count
+    # same skew-proof shape as window_dup_stats: persist the slim reduced
+    # table, combiner-friendly groupBy for the per-hash doc count (hot
+    # boilerplate hashes pre-aggregate map-side), AQE-splittable join back
+    from pyspark.storagelevel import StorageLevel
+
     reduced = wins.groupBy(id_col, "win_hash").agg(
         F.collect_list("pos").alias("__poss")
-    )
-    nd = F.count("*").over(Window.partitionBy("win_hash"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nd = reduced.groupBy("win_hash").agg(F.count("*").alias("__nd"))
     dup_pos = (
-        reduced.withColumn("__nd", nd)
-        .filter(F.col("__nd") >= 2)
+        reduced.join(nd.filter(F.col("__nd") >= 2), "win_hash")
         .select(F.col(id_col), F.explode("__poss").alias("pos"))
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("pos")).alias("dup_pos"))
