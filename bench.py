@@ -53,6 +53,7 @@ HEADLINE = [
     "substring_dedup",
     "substring_scrub",
     "bm25_search",
+    "text_embed",
     "curate_e2e",
     "snapshot_diff",
 ]

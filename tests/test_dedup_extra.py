@@ -314,3 +314,44 @@ def test_bm25_matches_duckdb_twin(spark):
         bm25.bm25_sql("spark gamma", "text", "doc_id", "documents", k=7)
     ).df().astype(got.dtypes.to_dict())
     assert got.reset_index(drop=True).equals(ora.reset_index(drop=True))
+
+
+def test_hash_embed_similarity_structure(spark):
+    """Near-identical texts embed near each other; disjoint-vocab texts
+    don't — and the output feeds cosine_topk directly (text -> embedding ->
+    ANN composition)."""
+    import pyspark.sql.functions as FF
+    from web2llmstxt_spark.operators import similarity
+
+    rows = [
+        (1, "spark shuffle exchange partition stage task executor core"),
+        (2, "spark shuffle exchange partition stage task executor node"),
+        (3, "pasta tomato basil garlic olive oil dinner recipe tonight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    emb = similarity.hash_embed(df, "text", "doc_id")
+    dim = len(emb.columns) - 1
+    vecs = emb.select(
+        FF.col("doc_id").alias("vec_id"),
+        FF.array(*[FF.col(f"e_{d}") for d in range(dim)]).alias("embedding"),
+    )
+    q = [r.embedding for r in vecs.filter("vec_id = 1").collect()][0]
+    top = similarity.cosine_topk(vecs.filter("vec_id != 1"), list(q), k=2).collect()
+    assert top[0].vec_id == 2            # shares 7/8 tokens
+    assert top[0].sim > 0.8 > top[1].sim  # doc 3 shares nothing
+
+
+def test_hash_embed_matches_duckdb_twin(spark):
+    import duckdb
+    from web2llmstxt_spark.operators import similarity
+
+    rows = [(i, f"tok{i % 7} shared words here " * (1 + i % 3)) for i in range(25)]
+    rows.append((99, ""))  # empty text (one empty token after split — pinned semantics)
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = similarity.hash_embed(df, "text", "doc_id").orderBy("doc_id").toPandas()
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    ora = con.sql(
+        similarity.hash_embed_sql("text", "doc_id", "documents") + " ORDER BY doc_id"
+    ).df().astype(got.dtypes.to_dict())
+    assert got.reset_index(drop=True).equals(ora.reset_index(drop=True))

@@ -20,6 +20,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from .dedup import tokens_col
+from .textstats import whitespace_tokens_sql
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -389,3 +392,90 @@ def pairwise_topk_per_vector(df: DataFrame, k: int = 5, vec_col: str = "embeddin
 
     w = Window.partitionBy("a").orderBy(F.desc("sim"), F.asc("b"))
     return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing text embeddings (model-free embedding generation)
+# ---------------------------------------------------------------------------
+
+#: test-preset embedding width; the hashing trick degrades gracefully with
+#: dim (collisions average out under the sign hash) — scale preset 2^10+.
+HASH_EMBED_DIM = 16
+
+
+def hash_embed(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    dim: int = HASH_EMBED_DIM,
+) -> DataFrame:
+    """Deterministic text -> vector via the hashing trick (Weinberger et
+    al., ICML 2009): token t adds sign(t) at index h(t) mod dim; the count
+    vector is L2-normalized. Closes the in-engine text -> embedding -> ANN
+    loop (similarity.cosine_topk / IvfIndex / lsh_topk consume the output)
+    with no model dependency — the unsupervised baseline a 100 TB corpus
+    bootstrap actually uses before a learned embedder exists.
+
+    h(t) = 60-bit md5 prefix (the minhash token hash, same cross-engine
+    arithmetic); sign(t) = +1 when the 16th hex char of md5(t) is 0-7 else
+    -1 (an independent bit of the same digest). Pure Column algebra: one
+    O(dim) fold per token inside ``aggregate`` — no explode, no shuffle,
+    embarrassingly parallel like minhash_signatures.
+
+    Output: (id_col, e_0..e_{dim-1}) — flat DOUBLE columns rounded to 4
+    decimals (engine-exact to compare; reassemble with F.array for ANN).
+    Zero-token docs embed as the zero vector.
+    """
+    toks = tokens_col(F.col(text_col))
+    idx = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % dim
+    sign = lambda t: F.when(
+        F.substring(F.md5(t), 16, 1).isin(*"01234567"), F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    zero = F.array_repeat(F.lit(0.0), dim)
+    # transform's TWO-arg lambda receives (element, index) — exactly the
+    # per-dimension fold we need (cf. the one-arg warning in minhash: there
+    # the index was unwanted, here it is the point)
+    counts = F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.transform(
+            acc, lambda a, d: a + F.when(idx(t) == d, sign(t)).otherwise(F.lit(0.0))
+        ),
+    )
+    vec = df.select(F.col(id_col), counts.alias("__c")).withColumn(
+        "__n",
+        F.sqrt(F.aggregate("__c", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    cols = [
+        F.round(
+            F.when(F.col("__n") > 0, F.element_at("__c", d + 1) / F.col("__n"))
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias(f"e_{d}")
+        for d in range(dim)
+    ]
+    return vec.select(F.col(id_col), *cols)
+
+
+def hash_embed_sql(
+    text_expr: str, id_expr: str, from_table: str, dim: int = HASH_EMBED_DIM
+) -> str:
+    """DuckDB twin of hash_embed — same md5-prefix index hash (the proven
+    minhash arithmetic), same sign bit, same normalize-then-round."""
+    toks = whitespace_tokens_sql(text_expr)
+    hidx = f"(('0x' || substr(md5(t), 1, 15))::BIGINT % {dim})"
+    sgn = "(CASE WHEN substr(md5(t), 16, 1) IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END)"
+    comp = lambda d: (
+        f"coalesce(list_sum(list_transform(toks, "
+        f"t -> CASE WHEN {hidx} = {d} THEN {sgn} ELSE 0.0 END)), 0.0)"
+    )
+    comps = ", ".join(f"{comp(d)} AS c_{d}" for d in range(dim))
+    sq = " + ".join(f"c_{d} * c_{d}" for d in range(dim))
+    outs = ", ".join(
+        f"round(CASE WHEN __n > 0 THEN c_{d} / __n ELSE 0.0 END, 4) AS e_{d}"
+        for d in range(dim)
+    )
+    return f"""
+        WITH toks AS (SELECT {id_expr} AS doc_id, {toks} AS toks FROM {from_table}),
+        counts AS (SELECT doc_id, {comps} FROM toks),
+        normed AS (SELECT *, sqrt({sq}) AS __n FROM counts)
+        SELECT doc_id, {outs} FROM normed
+    """

@@ -496,6 +496,18 @@ def sql_bm25_search():
     return bm25.bm25_sql(BM25_QUERY, "text", "doc_id", "documents", k=10)
 
 
+def q_text_embed(spark, sf_dir):
+    """Model-free embedding generation: feature-hashing (Weinberger et al.
+    ICML 2009) text -> L2-normalized vector, flat e_0..e_15 columns.
+    Closes the in-engine text -> embedding -> ANN loop."""
+    docs = load(spark, sf_dir, "documents")
+    return similarity.hash_embed(docs, "text", "doc_id")
+
+
+def sql_text_embed():
+    return similarity.hash_embed_sql("text", "doc_id", "documents")
+
+
 def q_jaccard_verify(spark, sf_dir):
     """LSH candidates -> exact n-gram Jaccard verification, with the
     boilerplate-cluster bucket cap (MAX_BUCKET) engaged — the full near-dup
@@ -1904,6 +1916,7 @@ REGISTRY: dict[str, tuple] = {
     "substring_dedup": (q_substring_dedup, sql_substring_dedup),
     "substring_scrub": (q_substring_scrub, sql_substring_scrub),
     "bm25_search": (q_bm25_search, sql_bm25_search),
+    "text_embed": (q_text_embed, sql_text_embed),
     "curate_e2e": (q_curate_e2e, sql_curate_e2e),
     "snapshot_diff": (q_snapshot_diff, sql_snapshot_diff),
     "link_pagerank": (q_link_pagerank, sql_link_pagerank),
