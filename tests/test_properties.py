@@ -107,3 +107,110 @@ def test_word_count_non_negative_and_split_stable(text):
     tokens = [t for t in text.split(" ") if t]
     rejoined = " ".join(tokens)
     assert kernels.word_count(rejoined) == kernels.word_count(rejoined + "")
+
+
+# ------------------------------------------- substring dedup / scrub / bm25
+# Spark-free: the DuckDB oracle twins are checked against a direct
+# pure-Python spec over randomized corpora (the Spark plans are already
+# hash-matched to these twins at sf0.01 and sf0.1 by the driver).
+
+import math
+
+import duckdb
+import pandas as pd
+
+from web2llmstxt_spark.operators import bm25, dedup
+
+_doc = st.lists(st.sampled_from("a b c aa bb cc dd ee".split()), max_size=24)
+_corpus = st.lists(_doc, min_size=1, max_size=12)
+
+
+def _spec_windows(tokens, w):
+    return [" ".join(tokens[i:i + w]) for i in range(len(tokens) - w + 1)]
+
+
+@given(corpus=_corpus, w=st.integers(2, 5))
+@settings(max_examples=30, deadline=None)
+def test_window_dup_sql_matches_spec(corpus, w):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(
+            dedup.window_dup_sql("text", "doc_id", "documents", window=w)
+        ).fetchall()
+    }
+    # spec: window duplicated iff its text occurs in >= 2 distinct docs
+    owners = {}
+    for i, toks in enumerate(corpus):
+        for win in set(_spec_windows(toks, w)):
+            owners.setdefault(win, set()).add(i)
+    for i, toks in enumerate(corpus):
+        wins = _spec_windows(toks, w)
+        dupw = sum(1 for win in wins if len(owners[win]) >= 2)
+        bp = dupw * 10000 // max(len(wins), 1)
+        assert got[i] == (len(wins), dupw, bp), (i, toks)
+
+
+@given(corpus=_corpus, w=st.integers(2, 5))
+@settings(max_examples=30, deadline=None)
+def test_remove_spans_sql_matches_spec(corpus, w):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(
+            dedup.remove_spans_sql("text", "doc_id", "documents", window=w)
+        ).fetchall()
+    }
+    owners = {}
+    for i, toks in enumerate(corpus):
+        for win in set(_spec_windows(toks, w)):
+            owners.setdefault(win, set()).add(i)
+    for i, toks in enumerate(corpus):
+        toks = toks if toks else [""]  # pinned split: '' -> one empty token
+        wins = _spec_windows(toks, w)
+        covered = set()
+        for p, win in enumerate(wins):           # p is 0-based here
+            if len(owners[win]) >= 2:
+                covered.update(range(p, p + w))  # tokens p..p+w-1
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        want = (" ".join(kept), len(toks) - len(kept), len(kept))
+        assert got[i] == want, (i, toks)
+        # conservation invariant
+        assert got[i][1] + got[i][2] == len(toks)
+
+
+@given(corpus=st.lists(_doc, min_size=2, max_size=10),
+       qterms=st.lists(st.sampled_from("a b aa cc".split()), min_size=1,
+                       max_size=3, unique=True))
+@settings(max_examples=30, deadline=None)
+def test_bm25_sql_matches_spec(corpus, qterms):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    q = " ".join(qterms)
+    got = con.sql(
+        bm25.bm25_sql(q, "text", "doc_id", "documents", k=len(corpus))
+    ).fetchall()
+    # spec (empty docs tokenize to [''] under the pinned split semantics)
+    toksed = [t if t else [""] for t in corpus]
+    n = float(len(corpus))
+    avgdl = sum(len(t) for t in toksed) / n
+    dfreq = {t: sum(1 for d in toksed if t in d) for t in qterms}
+    want = {}
+    for i, d in enumerate(toksed):
+        sc = 0.0
+        for t in qterms:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            sc += idf * tf * (bm25.K1 + 1) / (
+                tf + bm25.K1 * (1 - bm25.B + bm25.B * len(d) / avgdl)
+            )
+        if sc > 0:
+            want[i] = round(sc, 4)
+    assert {r[0]: r[1] for r in got} == want
