@@ -316,37 +316,45 @@ def continuous_crawl(
             todo = todo.unionByName(pending)
         k = ring["round"]
         n_defer = 0
+        deferred = None
         if capacity_per_host is not None:
             w = Window.partitionBy("host").orderBy("url")
             ranked = todo.withColumn("__r", F.row_number().over(w)).persist()
             now = ranked.filter(F.col("__r") <= capacity_per_host).drop("__r")
             deferred = ranked.filter(F.col("__r") > capacity_per_host).drop("__r")
             n_defer = deferred.count()
-            # overwrite => idempotent under micro-batch replay
-            deferred.write.mode("overwrite").parquet(
-                os.path.join(pending_dir, f"round-{k}")
-            )
         else:
             ranked = None
             now = todo
         fetched = fetcher.fetch(now.select("url")).persist()
         try:
             ring["todo"] = fetched.count() + n_defer
-            if fetched.count() == 0:
-                return
-            ok = fetched.filter(F.col("success"))
-            ok.select("url", "title", "content", "wc").write.mode("append").parquet(
-                pages_dir
-            )
-            links = (
-                expand_links(ok, "out_links", F.lit(base_url), F.lit(base_domain), [])
-                .select("url")
-                .distinct()
-                .select(host_of.alias("host"), "url")
-            )
-            links.write.mode("append").parquet(
-                os.path.join(links_dir, f"round-{k}")
-            )
+            if fetched.count() > 0:
+                ok = fetched.filter(F.col("success"))
+                ok.select("url", "title", "content", "wc").write.mode(
+                    "append"
+                ).parquet(pages_dir)
+                links = (
+                    expand_links(
+                        ok, "out_links", F.lit(base_url), F.lit(base_domain), []
+                    )
+                    .select("url")
+                    .distinct()
+                    .select(host_of.alias("host"), "url")
+                )
+                links.write.mode("append").parquet(
+                    os.path.join(links_dir, f"round-{k}")
+                )
+            if deferred is not None:
+                # the deferred-frontier write MUST be the batch's LAST write:
+                # a crash before it replays the batch against the PREVIOUS
+                # pending round (the current `now` set re-fetches — at-least-
+                # once); written any earlier, the replay would read this
+                # round's pending, which excludes the never-fetched `now`
+                # set — lost URLs. Overwrite => idempotent under replay.
+                deferred.write.mode("overwrite").parquet(
+                    os.path.join(pending_dir, f"round-{k}")
+                )
         finally:
             fetched.unpersist()
             if ranked is not None:
