@@ -51,7 +51,86 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--pages-per-host", type=int, default=25)
     c.add_argument("--cores", type=int, default=None,
                    help="local[N] cores (default $SPARK_GRAFT_CPUS or 32)")
+
+    cu = sub.add_parser(
+        "curate",
+        help="run the training-data curation pipeline over a documents "
+             "parquet and write the cleaned corpus",
+    )
+    cu.add_argument("--in", dest="in_parquet", required=True,
+                    help="input parquet with at least (id, text) columns")
+    cu.add_argument("--out", required=True, help="output parquet directory")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--bench-parquet", default=None,
+                    help="eval-set parquet (same text/id cols) for benchmark "
+                         "decontamination; omitted -> decontam skipped")
+    cu.add_argument("--no-repetition-gate", action="store_true",
+                    help="skip the Gopher-style repetition filter")
+    cu.add_argument("--no-pii-scrub", action="store_true",
+                    help="skip email/phone/IPv4 redaction")
+    cu.add_argument("--no-substring-scrub", action="store_true",
+                    help="skip cross-doc duplicated-span removal")
+    cu.add_argument("--no-exact-dedup", action="store_true",
+                    help="skip exact dedup on the final text")
+    cu.add_argument("--cores", type=int, default=None)
     return p
+
+
+def run_curate(spark, args) -> dict:
+    """Curation pipeline composition (the CLI face of `curate_e2e`):
+    repetition gate -> decontamination (optional) -> PII scrub ->
+    substring-span scrub -> exact dedup. Returns the stats dict printed as
+    the JSON result line. Every stage is the library operator the driver
+    hash-checks; this function only composes and counts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators import curation, dedup, scrub
+
+    tcol, icol = args.text_col, args.id_col
+    docs = spark.read.parquet(args.in_parquet).select(
+        F.col(icol).alias("doc_id"), F.col(tcol).alias("text")
+    )
+    stats = {"in_docs": docs.count()}
+
+    kept = docs
+    if not args.no_repetition_gate:
+        rep = curation.repetition_stats(kept).select("doc_id", "keep")
+        kept = kept.join(rep, "doc_id").filter("keep").drop("keep")
+        stats["dropped_repetition"] = stats["in_docs"] - kept.count()
+    if args.bench_parquet:
+        bench = spark.read.parquet(args.bench_parquet).select(
+            F.col(icol).alias("doc_id"), F.col(tcol).alias("text")
+        )
+        cont = curation.decontaminate(kept, bench).select("doc_id", "contaminated")
+        before = kept.count()
+        kept = kept.join(cont, "doc_id").filter("NOT contaminated").drop("contaminated")
+        stats["dropped_contaminated"] = before - kept.count()
+    if not args.no_pii_scrub:
+        kept = scrub.scrub_pii(kept).select(
+            "doc_id", F.col("text_clean").alias("text")
+        )
+    if not args.no_substring_scrub:
+        scrubbed = dedup.remove_duplicated_spans(kept, "text", "doc_id")
+        stats["tokens_removed"] = (
+            scrubbed.agg(F.sum("removed_tokens")).collect()[0][0] or 0
+        )
+        kept = scrubbed.select("doc_id", F.col("clean_text").alias("text"))
+    if not args.no_exact_dedup:
+        before = kept.count()
+        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        kept = (
+            kept.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .drop("__rn")
+        )
+        stats["dedup_removed"] = before - kept.count()
+
+    kept.write.mode("overwrite").parquet(args.out)
+    stats["kept_docs"] = spark.read.parquet(args.out).count()
+    stats["out"] = args.out
+    return stats
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -59,6 +138,12 @@ def main(argv: list[str] | None = None) -> int:
     from .session import CACHE_LEVEL, get_spark
 
     spark = get_spark("cli", cores=args.cores)
+    if args.cmd == "curate":
+        try:
+            print(json.dumps(run_curate(spark, args)))
+            return 0
+        finally:
+            spark.stop()
     try:
         sitemap_blobs = None
         robots_text = None
