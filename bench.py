@@ -54,6 +54,7 @@ HEADLINE = [
     "substring_scrub",
     "bm25_search",
     "text_embed",
+    "pack_sequences",
     "curate_e2e",
     "snapshot_diff",
 ]

@@ -129,3 +129,41 @@ class TestStratifiedSample:
         b = sorted(map(tuple, curation.stratified_sample(
             docs, "lang", "doc_id", k=2, salt=32).collect()))
         assert a == b and len(a) == 5
+
+
+def test_pack_sequences_layout_invariants(spark):
+    from web2llmstxt_spark.operators import curation
+
+    rows = [(i, "w " * (10 * (i + 1))) for i in range(8)]  # 10,20,...,80 tokens
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = sorted(
+        curation.pack_sequences(df, budget=64, text_col="text").collect(),
+        key=lambda r: r.doc_id,
+    )
+    # contiguous stream: each offset = previous offset + previous length
+    for prev, cur in zip(got, got[1:]):
+        assert cur.stream_offset == prev.stream_offset + prev.n_tokens
+    assert got[0].stream_offset == 0
+    # bin math holds row-by-row
+    for r in got:
+        assert r.bin_id == r.stream_offset // 64
+        assert r.bin_offset == r.stream_offset % 64
+    # total stream length 360 tokens -> last doc starts in bin 4 (offset 280)
+    assert got[-1].stream_offset == 280 and got[-1].bin_id == 4
+
+
+def test_pack_sequences_matches_duckdb_twin(spark):
+    import duckdb
+
+    from web2llmstxt_spark.operators import curation
+
+    rows = [(i, "tok " * (1 + (i * 13) % 37)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = curation.pack_sequences(df, 100).orderBy("doc_id").toPandas()
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    ora = con.sql(
+        curation.pack_sequences_sql(100, "text", "doc_id", "documents")
+        + " ORDER BY doc_id"
+    ).df().astype(got.dtypes.to_dict())
+    assert got.reset_index(drop=True).equals(ora.reset_index(drop=True))

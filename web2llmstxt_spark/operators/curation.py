@@ -286,3 +286,68 @@ def mixture_sample(
         .filter(F.col("rk") <= F.col("__quota"))
         .select(stratum_col, id_col, "rk")
     )
+
+
+def pack_sequences(
+    df, budget: int, text_col: str = "text", id_col: str = "doc_id"
+):
+    """GPT-style sequence packing: lay the corpus out as one contiguous
+    token stream (deterministic doc_id order) and chunk it into
+    ``budget``-token bins — the step a pretraining pipeline runs right
+    before writing shards (docs straddle bin boundaries by design, exactly
+    like GPT-2/3 packing; pad-free).
+
+    Output per doc: (doc_id, n_tokens, stream_offset, bin_id, bin_offset)
+    — all bigints; stream_offset is the exclusive prefix-sum of n_tokens,
+    bin_id = offset DIV budget, bin_offset = offset % budget.
+
+    Scale shape: the prefix-sum is `ranking.global_rank`'s two-pass
+    distributed cumulative (range-partition, per-partition window, tiny
+    driver-side offset table broadcast back) — NO single-partition window,
+    NO driver merge; the same machinery the crawler's budget cut uses at
+    10^10-URL scale. Token counting is one JVM size(split()) per doc.
+    """
+    from . import ranking
+    from .dedup import tokens_col
+
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    ranked = ranking.global_rank(
+        toked, [F.asc("doc_id")], "__rank", cum_col_flag=F.col("n_tokens")
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        F.col("__cum_before").alias("stream_offset"),
+        F.expr(f"__cum_before DIV {int(budget)}").alias("bin_id"),
+        (F.col("__cum_before") % int(budget)).alias("bin_offset"),
+    )
+
+
+def pack_sequences_sql(
+    budget: int, text_expr: str, id_expr: str, from_table: str
+) -> str:
+    """DuckDB twin of pack_sequences (single-node window is fine for the
+    oracle)."""
+    from .textstats import whitespace_tokens_sql
+
+    toks = whitespace_tokens_sql(text_expr)
+    return f"""
+        WITH toked AS (
+            SELECT {id_expr} AS doc_id, len({toks})::BIGINT AS n_tokens
+            FROM {from_table}
+        )
+        SELECT doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0)::BIGINT AS stream_offset,
+               (coalesce(sum(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) // {int(budget)})::BIGINT AS bin_id,
+               (coalesce(sum(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) % {int(budget)})::BIGINT AS bin_offset
+        FROM toked
+    """

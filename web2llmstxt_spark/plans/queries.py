@@ -508,6 +508,26 @@ def sql_text_embed():
     return similarity.hash_embed_sql("text", "doc_id", "documents")
 
 
+PACK_BUDGET = 2048
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: contiguous token stream chunked into
+    2048-token bins via the distributed two-pass prefix-sum (no
+    single-partition window) — the shard-layout step of a pretraining
+    pipeline."""
+    from ..operators import curation
+
+    docs = load(spark, sf_dir, "documents")
+    return curation.pack_sequences(docs, PACK_BUDGET, "text", "doc_id")
+
+
+def sql_pack_sequences():
+    from ..operators import curation
+
+    return curation.pack_sequences_sql(PACK_BUDGET, "text", "doc_id", "documents")
+
+
 def q_jaccard_verify(spark, sf_dir):
     """LSH candidates -> exact n-gram Jaccard verification, with the
     boilerplate-cluster bucket cap (MAX_BUCKET) engaged — the full near-dup
@@ -1917,6 +1937,7 @@ REGISTRY: dict[str, tuple] = {
     "substring_scrub": (q_substring_scrub, sql_substring_scrub),
     "bm25_search": (q_bm25_search, sql_bm25_search),
     "text_embed": (q_text_embed, sql_text_embed),
+    "pack_sequences": (q_pack_sequences, sql_pack_sequences),
     "curate_e2e": (q_curate_e2e, sql_curate_e2e),
     "snapshot_diff": (q_snapshot_diff, sql_snapshot_diff),
     "link_pagerank": (q_link_pagerank, sql_link_pagerank),
