@@ -55,6 +55,7 @@ HEADLINE = [
     "bm25_search",
     "text_embed",
     "pack_sequences",
+    "lm_xent",
     "curate_e2e",
     "snapshot_diff",
 ]

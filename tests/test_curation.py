@@ -167,3 +167,36 @@ def test_pack_sequences_matches_duckdb_twin(spark):
         + " ORDER BY doc_id"
     ).df().astype(got.dtypes.to_dict())
     assert got.reset_index(drop=True).equals(ora.reset_index(drop=True))
+
+
+def test_lm_xent_scores_atypical_docs_higher(spark):
+    """A doc whose transitions dominate the corpus model scores LOWER
+    cross-entropy than a doc made of corpus-rare transitions."""
+    from web2llmstxt_spark.operators import textstats
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(9)]
+    rows.append((100, "mat the on sat cat the"))  # same unigrams, rare bigrams
+    rows.append((200, "x"))                       # < 2 tokens -> NULL xent
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in textstats.lm_xent(df, "text", "doc_id").collect()}
+    assert got[0].xent < got[100].xent
+    assert got[200].n_bigrams == 0 and got[200].xent is None
+    assert got[0].n_bigrams == 5
+
+
+def test_lm_xent_matches_duckdb_twin(spark):
+    import duckdb
+
+    from web2llmstxt_spark.operators import textstats
+
+    rows = [(i, ("alpha beta gamma " * (1 + i % 4)) + f"tail{i % 6} omega")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = textstats.lm_xent(df, "text", "doc_id").orderBy("doc_id").toPandas()
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    ora = con.sql(
+        textstats.lm_xent_sql("text", "doc_id", "documents") + " ORDER BY doc_id"
+    ).df().astype(got.dtypes.to_dict())
+    assert got.reset_index(drop=True).equals(ora.reset_index(drop=True))

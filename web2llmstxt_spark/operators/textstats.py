@@ -168,3 +168,98 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         fingerprint(t).alias("fp"),
         detect_language(t).alias("lang_detected"),
     )
+
+
+def lm_xent(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al., LREC 2020): per-doc
+    cross-entropy under an add-one-smoothed corpus bigram model - documents
+    whose token transitions are atypical for the corpus score high (the
+    perplexity-bucket signal CCNet filters on; there the LM is KenLM
+    trained on Wikipedia, here it is the corpus's own bigram model - the
+    model-free self-scoring variant).
+
+    xent(d) = -(1/|bigrams(d)|) * sum ln P(w2|w1),
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)   [V = distinct vocab size]
+
+    Output: (doc_id, n_bigrams, xent) - xent rounded to 4, NULL for docs
+    with < 2 tokens. Bigram key = w1 || chr(1) || w2 (the separator cannot
+    appear inside a whitespace token).
+
+    Scale shape: bigram and unigram counts are combiner-friendly groupBys
+    (boilerplate-hot bigrams pre-aggregate map-side); the per-doc rejoin is
+    (doc bigrams) JOIN (model) on the bigram key - the one genuinely heavy
+    join, which is CCNet's real cost too; V collapses to a literal.
+    """
+    sep = F.lit(chr(1))
+    toks = whitespace_tokens(F.col(text_col))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bi = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat(a, sep, b),
+    )
+    doc_bi = df.select(F.col(id_col), F.explode(bi).alias("bg"))
+    c_bi = doc_bi.groupBy("bg").agg(F.count("*").alias("c2"))
+    uni = df.select(F.explode(toks).alias("w"))
+    c_uni = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    v = uni.select(F.count_distinct("w")).collect()[0][0]
+
+    model = c_bi.withColumn("w1", F.substring_index(F.col("bg"), chr(1), 1))
+    model = model.join(c_uni, model["w1"] == c_uni["w"]).select(
+        "bg",
+        F.log((F.col("c2") + 1.0) / (F.col("c1") + float(v))).alias("logp"),
+    )
+    per = (
+        doc_bi.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.sum("logp") / F.count("*"), 4).alias("xent"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.col("xent"),
+        )
+    )
+
+
+def lm_xent_sql(text_expr: str, id_expr: str, from_table: str) -> str:
+    """DuckDB twin of lm_xent (same smoothing, same chr(1) bigram key)."""
+    toks = whitespace_tokens_sql(text_expr)
+    return f"""
+        WITH toksrc AS (SELECT {id_expr} AS doc_id, {toks} AS t FROM {from_table}),
+        doc_bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 1, 0)),
+                       i -> t[i] || chr(1) || t[i + 1])) AS bg
+            FROM toksrc
+        ),
+        c_bi AS (SELECT bg, count(*)::DOUBLE AS c2 FROM doc_bi GROUP BY bg),
+        unis AS (SELECT unnest(t) AS w FROM toksrc),
+        c_uni AS (SELECT w, count(*)::DOUBLE AS c1 FROM unis GROUP BY w),
+        v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM unis),
+        model AS (
+            SELECT bg, ln((c2 + 1.0) / (c1 + v.v)) AS logp
+            FROM c_bi, v
+            JOIN c_uni ON split_part(bg, chr(1), 1) = c_uni.w
+        ),
+        per AS (
+            SELECT d.doc_id, count(*)::BIGINT AS n_bigrams,
+                   round(-sum(m.logp) / count(*), 4) AS xent
+            FROM doc_bi d JOIN model m USING (bg)
+            GROUP BY d.doc_id
+        )
+        SELECT s.doc_id,
+               coalesce(p.n_bigrams, 0) AS n_bigrams,
+               p.xent
+        FROM (SELECT {id_expr} AS doc_id FROM {from_table}) s
+        LEFT JOIN per p USING (doc_id)
+    """

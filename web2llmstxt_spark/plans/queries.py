@@ -528,6 +528,18 @@ def sql_pack_sequences():
     return curation.pack_sequences_sql(PACK_BUDGET, "text", "doc_id", "documents")
 
 
+def q_lm_xent(spark, sf_dir):
+    """CCNet-style LM quality scoring: per-doc cross-entropy under an
+    add-one-smoothed corpus bigram model (the perplexity-bucket signal,
+    model-free self-scoring variant)."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.lm_xent(docs, "text", "doc_id")
+
+
+def sql_lm_xent():
+    return textstats.lm_xent_sql("text", "doc_id", "documents")
+
+
 def q_jaccard_verify(spark, sf_dir):
     """LSH candidates -> exact n-gram Jaccard verification, with the
     boilerplate-cluster bucket cap (MAX_BUCKET) engaged — the full near-dup
@@ -1938,6 +1950,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_search": (q_bm25_search, sql_bm25_search),
     "text_embed": (q_text_embed, sql_text_embed),
     "pack_sequences": (q_pack_sequences, sql_pack_sequences),
+    "lm_xent": (q_lm_xent, sql_lm_xent),
     "curate_e2e": (q_curate_e2e, sql_curate_e2e),
     "snapshot_diff": (q_snapshot_diff, sql_snapshot_diff),
     "link_pagerank": (q_link_pagerank, sql_link_pagerank),
