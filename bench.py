@@ -56,6 +56,7 @@ HEADLINE = [
     "text_embed",
     "pack_sequences",
     "lm_xent",
+    "c4_clean",
     "curate_e2e",
     "snapshot_diff",
 ]

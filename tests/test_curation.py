@@ -200,3 +200,52 @@ def test_lm_xent_matches_duckdb_twin(spark):
         textstats.lm_xent_sql("text", "doc_id", "documents") + " ORDER BY doc_id"
     ).df().astype(got.dtypes.to_dict())
     assert got.reset_index(drop=True).equals(ora.reset_index(drop=True))
+
+
+def test_c4_clean_rules(spark):
+    from web2llmstxt_spark.operators import curation
+
+    nl = chr(10)
+    rows = [
+        # 4 good lines -> kept, short/unpunctuated lines removed
+        (1, nl.join(["one two three four five six.",
+                     "seven eight nine ten eleven?",
+                     "no terminal punctuation here at all",
+                     "tiny line.",
+                     'twelve thirteen fourteen fifteen sixteen."',
+                     "closing words here make five more!"])),
+        # only 2 surviving lines -> page dropped
+        (2, nl.join(["alpha beta gamma delta epsilon.",
+                     "zeta eta theta iota kappa.",
+                     "short one."])),
+        (3, "good line one two three four. " + nl + "Lorem Ipsum dolor sit."),
+        (4, "fine line with five words." + nl + "code block " + chr(123) + " starts here now."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in curation.c4_clean(df).collect()}
+    assert got[1].keep and got[1].n_kept == 4 and got[1].n_lines == 6
+    assert "no terminal punctuation" not in got[1].clean_text
+    assert "tiny line." not in got[1].clean_text
+    assert not got[2].keep and got[2].clean_text == ""
+    assert not got[3].keep            # lorem ipsum, case-insensitive
+    assert not got[4].keep            # curly brace
+
+
+def test_c4_clean_matches_duckdb_twin(spark):
+    import duckdb
+
+    from web2llmstxt_spark.operators import curation
+
+    nl = chr(10)
+    rows = [(i, nl.join(
+        (f"word{j} " * (3 + (i + j) % 5)).strip() + ("." if (i + j) % 2 else "")
+        for j in range(1 + i % 6)
+    )) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = curation.c4_clean(df).orderBy("doc_id").toPandas()
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    ora = con.sql(
+        curation.c4_clean_sql("text", "doc_id", "documents") + " ORDER BY doc_id"
+    ).df().astype(got.dtypes.to_dict())
+    assert got.reset_index(drop=True).equals(ora.reset_index(drop=True))

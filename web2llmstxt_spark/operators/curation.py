@@ -351,3 +351,72 @@ def pack_sequences_sql(
                    AND 1 PRECEDING), 0) % {int(budget)})::BIGINT AS bin_offset
         FROM toked
     """
+
+
+#: C4 cleaning thresholds (Raffel et al., JMLR 2020 S2.2)
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_LINES = 3
+#: terminal punctuation accepted at end-of-line (period, !, ?, closing quote)
+C4_TERMINAL_RE = "[.!?\"]$"
+
+
+def c4_clean(df, text_col: str = "text", id_col: str = "doc_id"):
+    """C4 line-level cleaning (Raffel et al., JMLR 2020 S2.2): retain only
+    lines that end in terminal punctuation AND contain >= 5 words; drop the
+    whole page when fewer than 3 lines survive, or when it contains
+    "lorem ipsum" (any case) or a curly brace (code leak). The bad-words
+    and three-sentence-span rules are covered elsewhere (pii_scrub /
+    substring dedup families).
+
+    Output: (doc_id, n_lines, n_kept, keep, clean_text) — clean_text joins
+    surviving lines with a newline, '' when the page is dropped.
+
+    Pure JVM Column algebra (split + higher-order filter + regexp), zero
+    shuffles, whole-stage codegen — the map-only filter shape every
+    line-rule pass should have at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    lines = F.split(F.col(text_col), "\n")
+    good = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(F.trim(l), "[ ]+")) >= C4_MIN_WORDS_PER_LINE),
+    )
+    keep = (
+        (F.size(good) >= C4_MIN_LINES)
+        & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(good).cast("long").alias("n_kept"),
+        keep.alias("keep"),
+        F.when(keep, F.array_join(good, chr(10))).otherwise(F.lit("")).alias(
+            "clean_text"
+        ),
+    )
+
+
+def c4_clean_sql(text_expr: str, id_expr: str, from_table: str) -> str:
+    """DuckDB twin of c4_clean (same regex class, same word split)."""
+    lines = f"string_split({text_expr}, chr(10))"
+    good = (
+        f"list_filter({lines}, l -> regexp_matches(trim(l), '[.!?\"]$') "
+        f"AND len(string_split_regex(trim(l), '[ ]+')) >= {C4_MIN_WORDS_PER_LINE})"
+    )
+    keep = (
+        f"(len({good}) >= {C4_MIN_LINES} "
+        f"AND NOT contains(lower({text_expr}), 'lorem ipsum') "
+        f"AND NOT contains({text_expr}, chr(123)))"
+    )
+    return f"""
+        SELECT {id_expr} AS doc_id,
+               len({lines})::BIGINT AS n_lines,
+               len({good})::BIGINT AS n_kept,
+               {keep} AS keep,
+               CASE WHEN {keep} THEN array_to_string({good}, chr(10))
+                    ELSE '' END AS clean_text
+        FROM {from_table}
+    """

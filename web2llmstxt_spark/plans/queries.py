@@ -540,6 +540,73 @@ def sql_lm_xent():
     return textstats.lm_xent_sql("text", "doc_id", "documents")
 
 
+def _c4_planted_col():
+    """Deterministic line-structure planting for q_c4_clean (the synthetic
+    documents text has no newlines or punctuation): tokens regroup into
+    6-word lines, line i of doc d gets a terminal '.' iff (i+d) % 3 > 0,
+    doc d % 97 == 0 gains a lorem-ipsum line, d % 89 == 0 a curly-brace
+    line — identical construction in both engines, so the C4 rules see
+    every branch (punct drop, short-line drop, lorem/brace page drop)."""
+    toks = F.split(F.col("text"), "[ ]+")
+    n_lines = F.expr("(size(split(text, '[ ]+')) + 5) DIV 6").cast("int")
+    d = F.col("doc_id")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 6 + 1, 6), " "),
+            F.when(((i + d) % 3) > 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    planted = F.array_join(lines, chr(10))
+    planted = F.when(
+        d % 97 == 0, F.concat(planted, F.lit(chr(10) + "lorem ipsum dolor sit amet today."))
+    ).otherwise(planted)
+    return F.when(
+        d % 89 == 0, F.concat(planted, F.lit(chr(10) + "stray code token " + chr(123) + " leaked here."))
+    ).otherwise(planted)
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020) over deterministically
+    line-structured documents text — terminal-punctuation + min-words line
+    retention, min-lines / lorem-ipsum / curly-brace page drops."""
+    from ..operators import curation
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _c4_planted_col().alias("text")
+    )
+    return curation.c4_clean(docs, "text", "doc_id")
+
+
+def _c4_planted_sql() -> str:
+    toks = "string_split_regex(text, '[ ]+')"
+    line = (
+        f"array_to_string(({toks})[i*6+1:i*6+6], ' ') || "
+        "(CASE WHEN (i + doc_id) % 3 > 0 THEN '.' ELSE '' END)"
+    )
+    base = (
+        f"array_to_string(list_transform("
+        f"generate_series(0, (len({toks}) + 5) // 6 - 1), i -> {line}), chr(10))"
+    )
+    lorem = (
+        f"CASE WHEN doc_id % 97 = 0 THEN {base} || chr(10) || "
+        f"'lorem ipsum dolor sit amet today.' ELSE {base} END"
+    )
+    return (
+        f"CASE WHEN doc_id % 89 = 0 THEN {lorem} || chr(10) || "
+        f"'stray code token ' || chr(123) || ' leaked here.' ELSE {lorem} END"
+    )
+
+
+def sql_c4_clean():
+    from ..operators import curation
+
+    return curation.c4_clean_sql(
+        "text", "doc_id",
+        f"(SELECT doc_id, {_c4_planted_sql()} AS text FROM documents)",
+    )
+
+
 def q_jaccard_verify(spark, sf_dir):
     """LSH candidates -> exact n-gram Jaccard verification, with the
     boilerplate-cluster bucket cap (MAX_BUCKET) engaged — the full near-dup
@@ -1951,6 +2018,7 @@ REGISTRY: dict[str, tuple] = {
     "text_embed": (q_text_embed, sql_text_embed),
     "pack_sequences": (q_pack_sequences, sql_pack_sequences),
     "lm_xent": (q_lm_xent, sql_lm_xent),
+    "c4_clean": (q_c4_clean, sql_c4_clean),
     "curate_e2e": (q_curate_e2e, sql_curate_e2e),
     "snapshot_diff": (q_snapshot_diff, sql_snapshot_diff),
     "link_pagerank": (q_link_pagerank, sql_link_pagerank),
