@@ -425,19 +425,28 @@ def hash_embed(
     Zero-token docs embed as the zero vector.
     """
     toks = tokens_col(F.col(text_col))
-    idx = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % dim
-    sign = lambda t: F.when(
-        F.substring(F.md5(t), 16, 1).isin(*"01234567"), F.lit(1.0)
-    ).otherwise(F.lit(-1.0))
+    # hash each token ONCE up front (the minhash lesson: Catalyst does not
+    # CSE inside higher-order lambdas, so an md5 referenced in the per-
+    # dimension fold would evaluate 2*dim times per token)
+    pre = F.transform(
+        F.transform(toks, lambda t: F.md5(t)),
+        lambda h: F.struct(
+            (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % dim).alias("i"),
+            F.when(F.substring(h, 16, 1).isin(*"01234567"), F.lit(1.0))
+            .otherwise(F.lit(-1.0))
+            .alias("s"),
+        ),
+    )
     zero = F.array_repeat(F.lit(0.0), dim)
     # transform's TWO-arg lambda receives (element, index) — exactly the
     # per-dimension fold we need (cf. the one-arg warning in minhash: there
     # the index was unwanted, here it is the point)
     counts = F.aggregate(
-        toks,
+        pre,
         zero,
-        lambda acc, t: F.transform(
-            acc, lambda a, d: a + F.when(idx(t) == d, sign(t)).otherwise(F.lit(0.0))
+        lambda acc, e: F.transform(
+            acc,
+            lambda a, d: a + F.when(e["i"] == d, e["s"]).otherwise(F.lit(0.0)),
         ),
     )
     vec = df.select(F.col(id_col), counts.alias("__c")).withColumn(
