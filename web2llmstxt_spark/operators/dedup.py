@@ -413,8 +413,14 @@ def window_hashes(
     Output: (id_col, win_hash). At 100 TB the explode multiplies rows by
     ~tokens-per-doc; only (id, 32-byte hash) ever leaves the scan stage —
     the text itself never crosses a shuffle.
+
+    The tokenizer materializes as its own projection BEFORE the per-position
+    lambda: Catalyst does not CSE inside higher-order lambdas, so an inlined
+    split() would re-tokenize the whole document at every window position —
+    O(doc^2) per doc.
     """
-    toks = tokens_col(text_col)
+    tokd = df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n_wins = F.size(toks) - F.lit(window - 1)
     # sequence(1, 0) would DESCEND in Spark; gate on n_wins >= 1 instead.
     wins = F.when(
@@ -424,7 +430,7 @@ def window_hashes(
             lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col), F.explode(wins).alias("win_hash"))
+    return tokd.select(F.col(id_col), F.explode(wins).alias("win_hash"))
 
 
 def window_dup_stats(
@@ -553,7 +559,10 @@ def remove_duplicated_spans(
     O(n·|dup_pos|) is the simple form). The text column is touched only in
     the final join-back; it never crosses the hash shuffles.
     """
-    toks = tokens_col(text_col)
+    # tokens materialize as a projection BEFORE any lambda references them —
+    # no CSE inside higher-order lambdas (see window_hashes)
+    tokd0 = df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+    toks = F.col("__toks")
     n_wins = F.size(toks) - F.lit(window - 1)
     pos_hash = F.when(
         n_wins >= 1,
@@ -565,7 +574,7 @@ def remove_duplicated_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
-    wins = df.select(
+    wins = tokd0.select(
         F.col(id_col), F.explode(pos_hash).alias("w")
     ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("win_hash"))
 
@@ -585,8 +594,11 @@ def remove_duplicated_spans(
         .agg(F.sort_array(F.collect_list("pos")).alias("dup_pos"))
     )
 
-    joined = df.join(dup_pos, id_col, "left")
-    t2 = tokens_col(text_col)
+    joined = (
+        df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+        .join(dup_pos, id_col, "left")
+    )
+    t2 = F.col("__toks")  # materialized column, not an inlined split()
     dp = F.coalesce(F.col("dup_pos"), F.array().cast("array<int>"))
     covered = lambda t: F.exists(
         dp, lambda p: (p <= t) & (t <= p + F.lit(window - 1))
