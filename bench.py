@@ -59,6 +59,7 @@ HEADLINE = [
     "c4_clean",
     "curate_e2e",
     "snapshot_diff",
+    "semdedup",
 ]
 
 

@@ -355,3 +355,31 @@ def test_hash_embed_matches_duckdb_twin(spark):
         similarity.hash_embed_sql("text", "doc_id", "documents") + " ORDER BY doc_id"
     ).df().astype(got.dtypes.to_dict())
     assert got.reset_index(drop=True).equals(ora.reset_index(drop=True))
+
+
+def test_semdedup_drops_within_cluster_neardups(spark):
+    """SemDeDup: two well-separated concepts (seeded by the two lowest ids),
+    a planted near-dup of each seed is dropped, a below-threshold member of
+    each cluster is kept; the hot-cluster cap only loses recall (never
+    over-deletes)."""
+    from web2llmstxt_spark.operators import similarity
+
+    a, b = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, a),                          # cluster-A seed
+        (1, b),                          # cluster-B seed
+        (2, [0.999, 0.001, 0.0, 0.0]),   # near-dup of 0 (cos ~1)   -> dropped
+        (3, [0.002, 0.998, 0.0, 0.0]),   # near-dup of 1            -> dropped
+        (4, [0.8, 0.0, 0.6, 0.0]),       # A-cluster, cos(0,4)=0.8  -> kept
+        (5, [0.0, 0.8, 0.0, 0.6]),       # B-cluster, cos(1,5)=0.8  -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    kept = similarity.semdedup(df, dim=4, nlist=2, threshold=0.95)
+    got = {r.vec_id: r.cid for r in kept.collect()}
+    assert set(got) == {0, 1, 4, 5}
+    assert got[0] == got[4] and got[1] == got[5] and got[0] != got[1]
+
+    # cap=1: only the first member of each cluster is examined -> no pairs,
+    # nothing dropped (the cap keeps overflow members unexamined)
+    all_kept = similarity.semdedup(df, dim=4, nlist=2, threshold=0.95, max_cluster=1)
+    assert all_kept.count() == 6

@@ -377,6 +377,69 @@ def ivf_topk(
     return cosine_topk(sub, query_vec, k, vec_col, id_col)
 
 
+#: hot-cluster cap for semdedup's within-cluster self-join — same rationale
+#: as MAX_BUCKET_NEARDUP: a degenerate assignment (or n >> nlist) makes one
+#: cluster emit ~B^2/2 pairs; members beyond the cap (by id order) are KEPT
+#: unexamined rather than dropped, so the cap only loses recall, never
+#: over-deletes. Mirrored in the DuckDB twin.
+MAX_CLUSTER_SEMDEDUP = 512
+
+
+def semdedup(
+    df: DataFrame,
+    dim: int,
+    nlist: int = 16,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    max_cluster: int | None = MAX_CLUSTER_SEMDEDUP,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    cluster embeddings with a coarse quantizer, then WITHIN each cluster drop
+    every vector whose cosine to a lower-id cluster member is >= threshold —
+    one representative (the lowest id, deterministic) survives per semantic
+    near-dup group. Extension operator beyond the reference's surface: the
+    reference has no embedding-level dedup (its dedup is URL-seen,
+    web_crawler.py visited-set); this is the standard LLM-corpus curation
+    step between exact/MinHash dedup and training.
+
+    Scale shape (the paper's own recipe): pair generation is confined to
+    clusters — a groupBy-key self-join over nlist lists, never all-pairs.
+    Clustering reuses the IVF coarse quantizer (ivf_centroids seed pick +
+    ivf_assign argmax, one broadcast pass, no shuffle); pass ``centroids``
+    (e.g. kmeans_refine output) for production quality — the default seed
+    pick keeps the whole operator bit-reproducible for the DuckDB twin.
+    ``max_cluster`` caps hot clusters by id order; overflow members are kept
+    unexamined (recall loss only, never a false drop).
+
+    Output: kept rows (id_col, cid) — anti-join of the dropped set.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(df, nlist, vec_col, id_col)
+    assigned = ivf_assign(df, centroids, vec_col, id_col)  # (id, cid)
+    withc = df.select(id_col, vec_col).join(assigned, id_col)
+    if max_cluster is not None:
+        w = Window.partitionBy("cid").orderBy(F.asc(id_col))
+        examined = (
+            withc.withColumn("__cn", F.row_number().over(w))
+            .filter(F.col("__cn") <= max_cluster)
+            .drop("__cn")
+        )
+    else:
+        examined = withc
+    left = examined.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "cid")
+    right = examined.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "cid")
+    dropped = (
+        left.join(right, "cid")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cosine_sim(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti")
+
+
 def pairwise_topk_per_vector(df: DataFrame, k: int = 5, vec_col: str = "embedding",
                              id_col: str = "vec_id", max_rows: int = 2000) -> DataFrame:
     """All-pairs KNN for small fan-in (block nested loop via crossJoin of a

@@ -997,6 +997,73 @@ def sql_embed_neardup(n_planes: int = 8, threshold: float = 0.98):
     """
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (cluster-then-within-cluster cosine dedup) over embeddings
+    with the same planted near-dup structure as q_embed_neardup: every 25th
+    vector gets a perturbed copy at cosine ~0.999; semdedup must assign each
+    copy to its source's cluster and drop it (threshold 0.98), keeping every
+    original. Output: kept (vec_id, cid)."""
+    emb = load(spark, sf_dir, "embeddings")
+    vd = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", vd.alias("embedding"))
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.transform(vd, lambda x: x * F.lit(1.01) + F.lit(0.005)).alias("embedding"),
+    )
+    allv = base.unionByName(planted)
+    kept = similarity.semdedup(
+        allv, dim=EMB_DIM, nlist=16, threshold=0.98,
+        max_cluster=similarity.MAX_CLUSTER_SEMDEDUP,
+    )
+    return kept.select("vec_id", "cid")
+
+
+def sql_semdedup(nlist: int = 16, threshold: float = 0.98):
+    """DuckDB twin of the full SemDeDup pipeline: same planted copies, same
+    deterministic centroid seed pick (nlist lowest-id vectors of the union),
+    same nearest-centroid assignment tie-break (csim DESC, cid ASC ==
+    Spark's max_by struct), same per-cluster id-order cap, same drop rule
+    (exists lower-id same-cluster member with cosine >= threshold)."""
+    cap = similarity.MAX_CLUSTER_SEMDEDUP
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+                   list_transform(embedding::DOUBLE[], x -> x * 1.01 + 0.005) AS v
+            FROM embeddings WHERE vec_id % 25 = 0
+        ),
+        cent AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+            FROM base ORDER BY vec_id LIMIT {nlist}
+        ),
+        assigned AS (
+            SELECT vec_id, cid FROM (
+                SELECT b.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY b.vec_id
+                                          ORDER BY {_cos_sql('b.v', 'c.cvec')} DESC,
+                                                   c.cid ASC) AS rn
+                FROM base b, cent c
+            ) WHERE rn = 1
+        ),
+        capped AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT b.vec_id, b.v, a.cid,
+                       row_number() OVER (PARTITION BY a.cid ORDER BY b.vec_id) AS cn
+                FROM base b JOIN assigned a USING (vec_id)
+            ) WHERE cn <= {cap}
+        ),
+        dropped AS (
+            SELECT DISTINCT r.vec_id
+            FROM capped l JOIN capped r
+              ON l.cid = r.cid AND l.vec_id < r.vec_id
+            WHERE {_cos_sql('l.v', 'r.v')} >= {threshold}
+        )
+        SELECT a.vec_id, a.cid::INT AS cid FROM assigned a
+        WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
 def q_pipeline_e2e(spark, sf_dir):
     """EP2 composition in ONE declarative plan: quality gate (P5+P2) ->
     C1 priority scoring + threshold (P8) -> budget top-k (O1/O2) ->
@@ -2023,4 +2090,5 @@ REGISTRY: dict[str, tuple] = {
     "snapshot_diff": (q_snapshot_diff, sql_snapshot_diff),
     "link_pagerank": (q_link_pagerank, sql_link_pagerank),
     "ann_pq": (q_ann_pq, sql_ann_pq),
+    "semdedup": (q_semdedup, sql_semdedup),
 }
