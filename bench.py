@@ -60,6 +60,7 @@ HEADLINE = [
     "curate_e2e",
     "snapshot_diff",
     "semdedup",
+    "dsir_select",
 ]
 
 

@@ -249,3 +249,29 @@ def test_c4_clean_matches_duckdb_twin(spark):
         curation.c4_clean_sql("text", "doc_id", "documents") + " ORDER BY doc_id"
     ).df().astype(got.dtypes.to_dict())
     assert got.reset_index(drop=True).equals(ora.reset_index(drop=True))
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """DSIR: a raw doc sharing the target subset's vocabulary outranks a raw
+    doc with alien vocabulary; target docs themselves score highest."""
+    tgt_text = "spark shuffle partition executor stage codegen arrow"
+    rows = [(i, tgt_text + f" v{i}", "en") for i in range(4)]          # target
+    rows += [(10, "spark shuffle partition executor extra words", "xx"),  # target-like
+             (11, "pasta tomato basil garlic dinner recipe tonight", "xx")]  # alien
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    from web2llmstxt_spark.operators import curation
+
+    top = curation.dsir_select(df, F.col("lang") == "en", k=6).collect()
+    scores = {r.doc_id: r.score for r in top}
+    assert scores[10] > scores[11]
+    assert min(scores[i] for i in range(4)) > scores[10] // 2  # targets rank high
+
+    # DuckDB twin bit-parity on the same frame
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    ora = con.sql(
+        curation.dsir_select_sql("text", "doc_id", "lang = 'en'", "documents", k=6)
+    ).fetchall()
+    assert [(r.doc_id, r.score) for r in top] == [(a, b) for a, b in ora]

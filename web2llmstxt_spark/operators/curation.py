@@ -420,3 +420,114 @@ def c4_clean_sql(text_expr: str, id_expr: str, from_table: str) -> str:
                     ELSE '' END AS clean_text
         FROM {from_table}
     """
+
+
+# ------------------------------------- DSIR importance-weighted selection
+
+#: fixed-point scale for the integerized per-bucket importance ratio — six
+#: decimal digits of ratio resolution, far below any doc-score tie the
+#: selection could care about, and (tgt+1)*SCALE stays << 2^63 at any
+#: conceivable corpus size (tgt <= raw <= token count; 10^14 tokens * 10^6
+#: = 10^20 would overflow, so the ratio is computed per BUCKET where counts
+#: are ~tokens/n_buckets — raise n_buckets with corpus size).
+DSIR_SCALE = 1_000_000
+
+
+def dsir_select(
+    df: DataFrame,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    k: int = 100,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al., NeurIPS
+    2023, arXiv:2302.03169), integerized: score each document by how much
+    its hashed-unigram distribution looks like a TARGET subset of the corpus
+    (``target`` is a boolean Column over ``df``, e.g. ``F.col('lang') ==
+    'en'``), then keep the top-k. Extension operator beyond the reference's
+    surface — the standard "select raw web data that resembles a trusted
+    corpus" curation step.
+
+    Deviation from the paper, documented: the paper weights w(x) =
+    prod_t p_target(t)/p_raw(t) and resamples; computing log-weights
+    cross-engine is a float hazard (libm ln differs in ulps between the JVM
+    and DuckDB), so the weight is integerized — per-bucket ratio w_b =
+    ((tgt_b + 1) * DSIR_SCALE) div (raw_b + 1) (add-one smoothed, exact
+    integer arithmetic in both engines) and the doc score is the SUM of
+    w_b over its token occurrences (the monotone additive analog of the
+    log-product). Selection is deterministic top-k (score DESC, id ASC)
+    rather than Gumbel resampling — the reproducible variant.
+
+    Scale shape (100 TB): one explode->groupBy(bucket) shuffle builds the
+    weight table (n_buckets rows — tiny, broadcast back), one
+    groupBy(id) shuffle scores docs; token text never leaves the scan
+    (tokens collapse to a 60-bit md5-prefix bucket before any shuffle).
+    h(t) is the proven minhash/hash_embed md5-prefix arithmetic.
+
+    Output: (id_col, score:bigint) top-k.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target.cast("int").alias("__t"),
+        F.explode(tokens_col(F.col(text_col))).alias("__tok"),
+    )
+    bucketed = toks.select(
+        id_col,
+        "__t",
+        (F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10).cast("long")
+         % n_buckets).alias("__b"),
+    )
+    weights = (
+        bucketed.groupBy("__b")
+        .agg(F.count("*").alias("__raw"), F.sum("__t").alias("__tgt"))
+        .select(
+            "__b",
+            F.expr(f"((__tgt + 1) * {DSIR_SCALE}) div (__raw + 1)").alias("__w"),
+        )
+    )
+    scored = (
+        bucketed.join(F.broadcast(weights), "__b")
+        .groupBy(id_col)
+        .agg(F.sum("__w").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def dsir_select_sql(
+    text_expr: str,
+    id_expr: str,
+    target_sql: str,
+    from_table: str,
+    n_buckets: int = 1024,
+    k: int = 100,
+) -> str:
+    """DuckDB twin of dsir_select: same md5-prefix bucket hash, same add-one
+    smoothed integer ratio (// == Spark's div on positive BIGINTs), same
+    deterministic top-k cut."""
+    toks = whitespace_tokens_sql(text_expr)
+    return f"""
+        WITH toks AS (
+            SELECT {id_expr} AS doc_id,
+                   (CASE WHEN {target_sql} THEN 1 ELSE 0 END) AS is_t,
+                   unnest({toks}) AS tok
+            FROM {from_table}
+        ),
+        b AS (
+            SELECT doc_id, is_t,
+                   (('0x' || substr(md5(tok), 1, 15))::BIGINT % {n_buckets}) AS bucket
+            FROM toks
+        ),
+        w AS (
+            SELECT bucket,
+                   (((sum(is_t)::BIGINT + 1) * {DSIR_SCALE})
+                    // (count(*)::BIGINT + 1)) AS w
+            FROM b GROUP BY bucket
+        ),
+        scored AS (
+            SELECT doc_id, sum(w)::BIGINT AS score
+            FROM b JOIN w USING (bucket) GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id ASC LIMIT {k}
+    """

@@ -1667,6 +1667,27 @@ def sql_mixture_sample():
     """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance-weighted selection (curation.dsir_select): pick the
+    100 documents whose hashed-unigram distribution most resembles the
+    lang='en' target subset — the 'select raw data that looks like a trusted
+    corpus' curation step, integerized for cross-engine exactness."""
+    from ..operators import curation
+
+    docs = load(spark, sf_dir, "documents")
+    return curation.dsir_select(
+        docs, F.col("lang") == "en", "text", "doc_id", n_buckets=1024, k=100
+    )
+
+
+def sql_dsir_select():
+    from ..operators import curation
+
+    return curation.dsir_select_sql(
+        "text", "doc_id", "lang = 'en'", "documents", n_buckets=1024, k=100
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (scrub.scrub_pii): sequential email/phone/IPv4 chain,
     pure JVM regexp — zero shuffles. The synthetic docs carry no PII, so
@@ -2091,4 +2112,5 @@ REGISTRY: dict[str, tuple] = {
     "link_pagerank": (q_link_pagerank, sql_link_pagerank),
     "ann_pq": (q_ann_pq, sql_ann_pq),
     "semdedup": (q_semdedup, sql_semdedup),
+    "dsir_select": (q_dsir_select, sql_dsir_select),
 }
