@@ -61,6 +61,7 @@ HEADLINE = [
     "snapshot_diff",
     "semdedup",
     "dsir_select",
+    "cms_topk",
 ]
 
 

@@ -383,3 +383,20 @@ def test_semdedup_drops_within_cluster_neardups(spark):
     # nothing dropped (the cap keeps overflow members unexamined)
     all_kept = similarity.semdedup(df, dim=4, nlist=2, threshold=0.95, max_cluster=1)
     assert all_kept.count() == 6
+
+
+def test_cms_never_underestimates_and_finds_heavy_hitters(spark):
+    """Count-min sketch: est >= exact for every token, the planted heavy
+    hitter tops the estimate ranking, and a tiny sketch (w=8) still never
+    underestimates while visibly overestimating colliding tokens."""
+    from web2llmstxt_spark.operators import sketch
+
+    rows = [(i, "heavy " * 50 + f"rare{i} light{i % 3}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    top = sketch.cms_topk_tokens(df, "text", k=50).collect()
+    assert top[0].token == "heavy" and top[0].exact == 500
+    assert all(r.est >= r.exact for r in top)
+
+    tiny = sketch.cms_topk_tokens(df, "text", k=50, width=8, depth=2).collect()
+    assert all(r.est >= r.exact for r in tiny)
+    assert any(r.est > r.exact for r in tiny)  # collisions at w=8

@@ -1688,6 +1688,23 @@ def sql_dsir_select():
     )
 
 
+def q_cms_topk(spark, sf_dir):
+    """Count-min-sketch heavy hitters (sketch.cms_topk_tokens): top-20
+    tokens by sketch ESTIMATE (bounded d*w counter state — the 100 TB
+    frequency primitive), exact count alongside so the never-underestimates
+    invariant is in the checked output."""
+    from ..operators import sketch
+
+    docs = load(spark, sf_dir, "documents")
+    return sketch.cms_topk_tokens(docs, "text", k=20)
+
+
+def sql_cms_topk():
+    from ..operators import sketch
+
+    return sketch.cms_topk_tokens_sql("text", "documents", k=20)
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (scrub.scrub_pii): sequential email/phone/IPv4 chain,
     pure JVM regexp — zero shuffles. The synthetic docs carry no PII, so
@@ -2113,4 +2130,5 @@ REGISTRY: dict[str, tuple] = {
     "ann_pq": (q_ann_pq, sql_ann_pq),
     "semdedup": (q_semdedup, sql_semdedup),
     "dsir_select": (q_dsir_select, sql_dsir_select),
+    "cms_topk": (q_cms_topk, sql_cms_topk),
 }
