@@ -65,3 +65,28 @@ def test_curate_flags_disable_stages(spark, tmp_path):
     assert stats == {"in_docs": 2, "kept_docs": 2, "out": str(tmp_path / "curated")}
     texts = {r.text for r in spark.read.parquet(str(tmp_path / "curated")).collect()}
     assert texts == {rows[0][1]}  # untouched, PII intact, dups kept
+
+
+def test_curate_pack_out_writes_training_shards(spark, tmp_path):
+    """--pack-out: packed shards land partitioned by shard_id, the in-shard
+    (bin_id, bin_offset) replay is stream-ordered, and token accounting is
+    exact (sum n_tokens == last stream_offset + its n_tokens)."""
+    rows = [(i, f"tok{i} " * (5 + i % 4)) for i in range(40)]
+    p = _write_docs(spark, tmp_path, rows)
+    args = _args(tmp_path, p, no_repetition_gate=True, no_pii_scrub=True,
+                 no_substring_scrub=True, no_exact_dedup=True,
+                 pack_out=str(tmp_path / "shards"), pack_budget=16,
+                 bins_per_shard=4)
+    stats = run_curate(spark, args)
+    pk = stats["pack"]
+    assert pk["docs"] == 40
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    assert "shard_id" in back.columns
+    got = back.orderBy("shard_id", "bin_id", "bin_offset").collect()
+    # shard boundaries are bin boundaries; bins map to their shard
+    assert all(r.bin_id // 4 == r.shard_id for r in got)
+    # stream order: offsets strictly increase along the replay order
+    offs = [r.stream_offset for r in got]
+    assert offs == sorted(offs) and len(set(offs)) == len(offs)
+    assert pk["tokens"] == got[-1].stream_offset + got[-1].n_tokens
+    assert pk["shards"] >= 2  # the tiny budget actually sharded

@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="skip cross-doc duplicated-span removal")
     cu.add_argument("--no-exact-dedup", action="store_true",
                     help="skip exact dedup on the final text")
+    cu.add_argument("--pack-out", default=None,
+                    help="also write GPT-style packed training shards "
+                         "(parquet partitioned by shard_id) to this dir")
+    cu.add_argument("--pack-budget", type=int, default=2048,
+                    help="tokens per packed bin (with --pack-out)")
+    cu.add_argument("--bins-per-shard", type=int, default=1024,
+                    help="bins per shard directory (with --pack-out)")
     cu.add_argument("--cores", type=int, default=None)
     return p
 
@@ -130,6 +137,12 @@ def run_curate(spark, args) -> dict:
     kept.write.mode("overwrite").parquet(args.out)
     stats["kept_docs"] = spark.read.parquet(args.out).count()
     stats["out"] = args.out
+    if getattr(args, "pack_out", None):
+        cleaned = spark.read.parquet(args.out)  # pack the WRITTEN corpus
+        stats["pack"] = curation.write_training_shards(
+            cleaned, args.pack_out, args.pack_budget,
+            bins_per_shard=args.bins_per_shard,
+        )
     return stats
 
 

@@ -531,3 +531,56 @@ def dsir_select_sql(
         SELECT doc_id, score FROM scored
         ORDER BY score DESC, doc_id ASC LIMIT {k}
     """
+
+
+# ------------------------------------------------- training-shard writing
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bins_per_shard: int = 1024,
+) -> dict:
+    """The curation pipeline's last mile: materialize the pack_sequences
+    layout as TRAINING SHARDS — parquet partitioned by shard_id, each shard
+    holding ``bins_per_shard`` consecutive ``budget``-token bins, rows
+    sorted by (bin_id, bin_offset) so a shard reader streams the token
+    stream in order without a sort. A trainer maps shard -> worker and
+    replays bins sequentially; shard boundaries are bin boundaries, so no
+    sequence straddles two shards' files (a doc may straddle BINS — that is
+    GPT-style packing — but every bin lives in exactly one shard).
+
+    Scale shape: one doc_id-keyed join brings the text to the layout (the
+    layout side is slim bigints), one repartition("shard_id") colocates each
+    shard, partitionBy writes one directory per shard. Returns stats
+    {docs, tokens, bins, shards}.
+    """
+    layout = pack_sequences(df, budget, text_col, id_col)
+    joined = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).join(layout, "doc_id")
+    shards = joined.withColumn(
+        "shard_id", F.expr(f"bin_id DIV {int(bins_per_shard)}")
+    )
+    (
+        shards.repartition("shard_id")
+        .sortWithinPartitions("shard_id", "bin_id", "bin_offset")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    agg = shards.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        (F.max("bin_id") + 1).alias("bins"),
+        F.countDistinct("shard_id").alias("shards"),
+    ).collect()[0]
+    return {
+        "docs": agg["docs"],
+        "tokens": int(agg["tokens"] or 0),
+        "bins": int(agg["bins"] or 0),
+        "shards": agg["shards"],
+        "out": out_dir,
+    }
