@@ -62,6 +62,7 @@ HEADLINE = [
     "semdedup",
     "dsir_select",
     "cms_topk",
+    "hll_distinct",
 ]
 
 

@@ -400,3 +400,62 @@ def test_cms_never_underestimates_and_finds_heavy_hitters(spark):
     tiny = sketch.cms_topk_tokens(df, "text", k=50, width=8, depth=2).collect()
     assert all(r.est >= r.exact for r in tiny)
     assert any(r.est > r.exact for r in tiny)  # collisions at w=8
+
+
+def _hll_spec(items, m=64):
+    """Pure-Python replica of sketch.hll_registers + hll_estimate."""
+    import hashlib
+    import math
+
+    from web2llmstxt_spark.operators.sketch import HLL_WBITS, _hll_alpha
+
+    regs = {}
+    for t in items:
+        idx = int(hashlib.md5(f"i:{t}".encode()).hexdigest()[:15], 16) % m
+        w = int(hashlib.md5(f"r:{t}".encode()).hexdigest()[:12], 16)
+        rho = HLL_WBITS + 1 - w.bit_length()  # w=0 -> bit_length 0 -> 49
+        regs[idx] = max(regs.get(idx, 0), rho)
+    s49 = 1 << (HLL_WBITS + 1)
+    v_zero = m - len(regs)
+    s = sum(1 << (HLL_WBITS + 1 - r) for r in regs.values()) + v_zero * s49
+    raw = math.floor((_hll_alpha(m) * float(m * m) * float(s49)) / float(s))
+    if raw <= 2.5 * m and v_zero > 0:
+        return v_zero, math.floor(m * math.log(m / v_zero))
+    return v_zero, raw
+
+
+def test_hll_matches_python_spec_both_regimes(spark):
+    """HLL: the Spark operator reproduces the pure-Python spec exactly in
+    BOTH the raw regime (thousands of distinct tokens) and the
+    linear-counting regime (tens), and the raw-regime estimate lands within
+    3 standard errors (3 * 1.04/sqrt(64) ~= 39%) of the exact count.
+    Duplicates must not move the registers (max() absorbs multiplicity)."""
+    from web2llmstxt_spark.operators import sketch
+
+    # raw regime: 3000 distinct tokens, each repeated a varying number of times
+    rows = [
+        (i, " ".join(f"tok{j}" for j in range(i * 30, i * 30 + 30)) + " common")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = sketch.hll_distinct_tokens(df, "text").collect()[0]
+    toks = {t for _, txt in rows for t in txt.split()}
+    assert got.exact == len(toks) == 3001
+    v_spec, est_spec = _hll_spec(toks)
+    assert (got.v_zero, got.hll_est) == (v_spec, est_spec)
+    assert abs(got.hll_est - got.exact) / got.exact < 0.39
+
+    # duplicate-invariance: the same corpus 5x over -> identical sketch row
+    df5 = df.union(df).union(df).union(df).union(df)
+    got5 = sketch.hll_distinct_tokens(df5, "text").collect()[0]
+    assert (got5.v_zero, got5.hll_est) == (got.v_zero, got.hll_est)
+
+    # linear-counting regime: 12 distinct tokens -> empty registers trigger
+    # the small-range correction, which the spec replicates
+    small = spark.createDataFrame(
+        [(0, " ".join(f"w{j}" for j in range(12)))], "doc_id int, text string"
+    )
+    gs = sketch.hll_distinct_tokens(small, "text").collect()[0]
+    v_spec, est_spec = _hll_spec({f"w{j}" for j in range(12)})
+    assert gs.v_zero > 0 and (gs.v_zero, gs.hll_est) == (v_spec, est_spec)
+    assert abs(gs.hll_est - 12) <= 4

@@ -1705,6 +1705,27 @@ def sql_cms_topk():
     return sketch.cms_topk_tokens_sql("text", "documents", k=20)
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token cardinality (sketch.hll_distinct_tokens):
+    64 integer registers estimate the corpus's distinct 3-gram-shingle
+    count (the dedup shingle universe — thousands of distinct items, the
+    raw-estimate regime; same bounded-memory primitive answers "how many
+    distinct URLs has this 10^10-URL frontier seen") with the exact count
+    alongside so the error is in the
+    checked output. Registers are pure integer/string ops (no libm), the
+    estimate one pinned IEEE double expression: bit-identical in DuckDB."""
+    from ..operators import sketch
+
+    docs = load(spark, sf_dir, "documents")
+    return sketch.hll_distinct_tokens(docs, "text", n=3)
+
+
+def sql_hll_distinct():
+    from ..operators import sketch
+
+    return sketch.hll_distinct_tokens_sql("text", "documents", n=3)
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (scrub.scrub_pii): sequential email/phone/IPv4 chain,
     pure JVM regexp — zero shuffles. The synthetic docs carry no PII, so
@@ -2131,4 +2152,5 @@ REGISTRY: dict[str, tuple] = {
     "semdedup": (q_semdedup, sql_semdedup),
     "dsir_select": (q_dsir_select, sql_dsir_select),
     "cms_topk": (q_cms_topk, sql_cms_topk),
+    "hll_distinct": (q_hll_distinct, sql_hll_distinct),
 }
