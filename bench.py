@@ -63,6 +63,7 @@ HEADLINE = [
     "dsir_select",
     "cms_topk",
     "hll_distinct",
+    "length_quantiles",
 ]
 
 

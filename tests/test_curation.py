@@ -275,3 +275,29 @@ def test_dsir_select_prefers_target_like_docs(spark):
         curation.dsir_select_sql("text", "doc_id", "lang = 'en'", "documents", k=6)
     ).fetchall()
     assert [(r.doc_id, r.score) for r in top] == [(a, b) for a, b in ora]
+
+
+def test_exact_quantiles_matches_python_spec(spark):
+    """exact_quantiles: min v with |{x <= v}| >= ceil(p*N) — checked against
+    a brute-force Python spec on a multiset with ties, including the exact
+    integer-boundary case (p*N divisible by 10000) and p covering min/max."""
+    import math
+
+    from web2llmstxt_spark.operators import textstats
+
+    vals = [1, 1, 1, 2, 2, 5, 5, 5, 5, 9, 40, 40]  # N=12, heavy ties
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    ps = (1, 2500, 5000, 7500, 9999, 10000)  # 2500*12/10000=3 exactly
+    got = {
+        r.p_bp: r.value
+        for r in textstats.exact_quantiles(df, "x", ps_bp=ps).collect()
+    }
+    sv = sorted(vals)
+
+    def spec(p_bp):
+        target = -(-p_bp * len(sv) // 10000)  # ceil in integer arithmetic
+        return sv[target - 1]
+
+    assert got == {p: spec(p) for p in ps}
+    assert got[1] == min(vals) and got[10000] == max(vals)
+    assert math.ceil(2500 * len(sv) / 10000) == 3 and got[2500] == sv[2]

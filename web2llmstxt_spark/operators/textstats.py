@@ -263,3 +263,77 @@ def lm_xent_sql(text_expr: str, id_expr: str, from_table: str) -> str:
         FROM (SELECT {id_expr} AS doc_id FROM {from_table}) s
         LEFT JOIN per p USING (doc_id)
     """
+
+
+# ------------------------------------------------------- exact quantiles
+
+#: default percentile grid in basis points (p50/p90/p99 plus tails)
+QUANTILES_BP = (2500, 5000, 7500, 9000, 9900)
+
+
+def exact_quantiles(
+    df: DataFrame, value_col: str, ps_bp=QUANTILES_BP
+) -> DataFrame:
+    """EXACT distributed percentiles of an integer-valued column — the
+    deterministic replacement for approxQuantile when the answer feeds a
+    correctness-sensitive cut (length filtering, packing bin sizing).
+
+    Semantics: quantile(p) = min v such that |{x <= v}| >= ceil(p * N)
+    (the lower discrete quantile), with ceil done in INTEGER arithmetic
+    ((p_bp*N + 9999) div 10000) so both engines cut identically.
+
+    Scale shape: groupBy(value) partial-aggregates map-side, so the shuffle
+    carries (#distinct values x #partitions) rows, not N; the cumulative
+    window then runs over the DISTINCT-value histogram only. That single-
+    partition window is the deliberate trade: exact quantiles of a column
+    with a SMALL value domain (token counts, depths, status codes). For
+    unbounded domains, bucket first or use a mergeable sketch instead.
+
+    Output: (p_bp:int, value:bigint), one row per requested percentile.
+    """
+    from pyspark.sql import Window
+
+    hist = df.groupBy(F.col(value_col).cast("long").alias("val")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "val",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    ps = F.explode(
+        F.array(*[F.lit(int(p)).cast("int") for p in ps_bp])
+    ).alias("p_bp")
+    grid = cum.select(ps, "val", "cum", "total")
+    hit = grid.where(
+        F.col("cum")
+        >= F.expr("(cast(p_bp as bigint) * total + 9999) div 10000")
+    )
+    return hit.groupBy("p_bp").agg(F.min("val").alias("value"))
+
+
+def length_quantiles_sql(
+    text_expr: str, from_table: str, ps_bp=QUANTILES_BP
+) -> str:
+    """DuckDB twin of exact_quantiles over per-document token counts
+    (token_count_sql semantics, incl. the empty-text -> 0 case):
+    same histogram -> cumulative -> integer-ceil selection."""
+    ps = ", ".join(str(int(p)) for p in ps_bp)
+    return f"""
+        WITH v AS (
+            SELECT {token_count_sql(text_expr)}::BIGINT AS val
+            FROM {from_table}
+        ),
+        hist AS (SELECT val, count(*)::BIGINT AS cnt FROM v GROUP BY val),
+        c AS (
+            SELECT val,
+                   sum(cnt) OVER (ORDER BY val)::BIGINT AS cum,
+                   sum(cnt) OVER ()::BIGINT AS total
+            FROM hist
+        ),
+        ps AS (SELECT unnest([{ps}])::INTEGER AS p_bp)
+        SELECT p_bp, min(val)::BIGINT AS value
+        FROM ps JOIN c ON cum >= (p_bp::BIGINT * total + 9999) // 10000
+        GROUP BY p_bp
+    """

@@ -1726,6 +1726,28 @@ def sql_hll_distinct():
     return sketch.hll_distinct_tokens_sql("text", "documents", n=3)
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact distributed percentiles (textstats.exact_quantiles) of per-doc
+    token counts: groupBy-histogram with map-side combine (shuffle carries
+    distinct VALUES, not docs), cumulative window over the small distinct
+    domain, integer-ceil rank selection — the deterministic replacement for
+    approxQuantile when the cut feeds correctness (length filters, packing
+    bins)."""
+    from ..operators import textstats
+
+    docs = load(spark, sf_dir, "documents")
+    vals = docs.select(
+        textstats.token_count(F.col("text")).alias("tok_cnt")
+    )
+    return textstats.exact_quantiles(vals, "tok_cnt")
+
+
+def sql_length_quantiles():
+    from ..operators import textstats
+
+    return textstats.length_quantiles_sql("text", "documents")
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (scrub.scrub_pii): sequential email/phone/IPv4 chain,
     pure JVM regexp — zero shuffles. The synthetic docs carry no PII, so
@@ -2153,4 +2175,5 @@ REGISTRY: dict[str, tuple] = {
     "dsir_select": (q_dsir_select, sql_dsir_select),
     "cms_topk": (q_cms_topk, sql_cms_topk),
     "hll_distinct": (q_hll_distinct, sql_hll_distinct),
+    "length_quantiles": (q_length_quantiles, sql_length_quantiles),
 }
