@@ -64,6 +64,25 @@ HEADLINE = [
     "cms_topk",
     "hll_distinct",
     "length_quantiles",
+    # full-registry tail: every remaining driver-checked query, so BENCH
+    # covers the complete operator surface, not a curated subset
+    "ann_ivf",
+    "ann_lsh",
+    "ann_pq",
+    "audio_features",
+    "events_by_type",
+    "events_props",
+    "frontier_topk_v1",
+    "lang_detect",
+    "link_pagerank",
+    "pagination_discover",
+    "pipeline_e2e",
+    "quality_filter",
+    "seen_antijoin_cuckoo",
+    "simhash",
+    "sitemap_order",
+    "token_stats",
+    "video_frames",
 ]
 
 
