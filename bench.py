@@ -83,6 +83,7 @@ HEADLINE = [
     "sitemap_order",
     "token_stats",
     "video_frames",
+    "image_neardup",
 ]
 
 

@@ -591,3 +591,220 @@ def synth_media(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.concat(F.lit("img-"), F.col(id_col).cast("string")).alias("media_ref"),
     )
     return _attach_png_blobs(imgs)
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash near-dup (dHash + pigeonhole banding)
+# ---------------------------------------------------------------------------
+
+#: docs per planted near-dup group in synth_image_groups: doc_id // PHASH_GROUP
+#: share a base image, doc_id % PHASH_GROUP picks the variant perturbation
+PHASH_GROUP = 4
+#: dHash geometry: 8x8 grayscale -> 8 rows x 7 horizontal comparisons
+DHASH_BITS = (SYNTH_H) * (SYNTH_W - 1)          # 56
+_DHASH_SPLIT = DHASH_BITS // 2                   # hi = bits 0..27, lo = 28..55
+_DHASH_BAND_BITS = _DHASH_SPLIT // 2             # 4 bands x 14 bits
+_DHASH_BAND_MASK = (1 << _DHASH_BAND_BITS) - 1
+#: hot-bucket cap for dhash_neardup (mirrored in the DuckDB oracle twin) —
+#: same role as similarity.MAX_BUCKET_NEARDUP: with 2^14 keys per band a
+#: degenerate corpus (all-flat images hash to 0) would turn one bucket into
+#: a B^2/2 self-join; buckets keep their max_bucket lowest-id members
+MAX_BUCKET_DHASH = 256
+_SYNTH_GRAY_CHUNKS = SYNTH_W * SYNTH_H // 16     # 64 gray bytes = 4 md5 chunks
+
+
+def synth_gray_pixels(grp_ref: str, variant: int) -> bytes:
+    """Deterministic 8x8 grayscale pixels for a planted near-dup group:
+    base bytes = the md5 chain ``md5(grp_ref + ':' + i)`` (the same
+    derivation the DuckDB oracle twin does in SQL), then variant ``v``
+    forces the first pixel of each of rows 0..v-1 to 255. Forcing only ROW
+    STARTS bounds the planted dHash distance: pixel ``8*j`` participates in
+    exactly one horizontal comparison (bit ``j*7``), so any two variants of
+    one group differ in at most PHASH_GROUP-1 = 3 hash bits — which the
+    4-band pigeonhole then GUARANTEES to surface as a candidate pair."""
+    base = bytearray(
+        b"".join(
+            hashlib.md5(f"{grp_ref}:{i}".encode()).digest()
+            for i in range(_SYNTH_GRAY_CHUNKS)
+        )
+    )
+    for j in range(variant):
+        base[SYNTH_W * j] = 255
+    return bytes(base)
+
+
+def synth_image_groups(documents: DataFrame, id_col: str = "doc_id",
+                       group: int = PHASH_GROUP) -> DataFrame:
+    """Derive an image media table with PLANTED near-duplicate structure:
+    docs sharing ``doc_id // group`` get the same base 8x8 grayscale image,
+    perturbed per variant (see synth_gray_pixels), encoded as REAL grayscale
+    PNGs (color_type 0, cycling row filters). The driver-checked
+    ``image_neardup`` input: near-dup discovery runs against blobs a true
+    decoder must first unfilter."""
+    imgs = documents.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.concat(F.lit("img-"), F.col(id_col).cast("string")).alias("media_ref"),
+        F.concat(
+            F.lit("grp-"),
+            F.expr(f"cast(cast({id_col} as bigint) div {int(group)} as string)"),
+        ).alias("grp_ref"),
+        (F.col(id_col).cast("long") % group).cast("int").alias("variant"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": "image",
+                    "blob": [
+                        png.encode_png(SYNTH_W, SYNTH_H,
+                                       synth_gray_pixels(g, int(v)), color_type=0)
+                        for g, v in zip(pdf["grp_ref"], pdf["variant"])
+                    ],
+                    "meta": [
+                        {"mime": "image/png", "width": SYNTH_W, "height": SYNTH_H,
+                         "duration_ms": None}
+                        for _ in pdf["media_ref"]
+                    ],
+                }
+            )
+
+    return imgs.mapInPandas(run, MEDIA)
+
+
+DHASH = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("dhash_hi", LongType()),     # dHash bits 0..27
+        StructField("dhash_lo", LongType()),     # dHash bits 28..55
+    ]
+)
+
+
+def dhash_py(pixels: bytes, channels: int = 1) -> tuple[int, int]:
+    """56-bit difference hash of an 8x8 image: bit ``r*7+c`` set iff the
+    integer luma of pixel (r,c) exceeds its right neighbor (grayscale: the
+    byte itself; RGB(A): the exact BT.601 milli-luma sum — compared without
+    dividing, so the oracle twin is bit-identical). dHash is LOCAL (each bit
+    depends on two adjacent pixels only), so a k-pixel edit moves the hash
+    by <= 2k bits — unlike average-hash, whose global mean couples every
+    bit. Returns (hi, lo) 28-bit halves (BIGINT-safe on both engines)."""
+    ch = channels
+    if ch == 1:
+        g = list(pixels)
+    else:
+        rgb = min(ch, 3)
+        g = [
+            sum(_LUMA_MILLI[c] * pixels[i + c] for c in range(rgb))
+            for i in range(0, len(pixels), ch)
+        ]
+    hi = lo = 0
+    for r in range(SYNTH_H):
+        for c in range(SYNTH_W - 1):
+            if g[SYNTH_W * r + c] > g[SYNTH_W * r + c + 1]:
+                b = r * (SYNTH_W - 1) + c
+                if b < _DHASH_SPLIT:
+                    hi |= 1 << b
+                else:
+                    lo |= 1 << (b - _DHASH_SPLIT)
+    return hi, lo
+
+
+def image_dhash(media: DataFrame, decoder: str = "png") -> DataFrame:
+    """image blobs -> 56-bit perceptual dHash via mapInPandas (Arrow
+    batches), REAL decode (functions/png.py): a wrong unfilter changes
+    pixels => changes the hash => fails the driver hash match. Output:
+    (doc_id, media_ref, dhash_hi, dhash_lo)."""
+    if decoder != "png":
+        raise NotImplementedError(
+            "non-PNG decoders unavailable in this container; production: "
+            "PIL open -> convert('L') -> resize((9,8)) -> dHash inside this "
+            "same mapInPandas body"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            his, los = [], []
+            for blob in pdf["blob"]:
+                w, h, ch, px = png.decode_png(bytes(blob) if blob is not None else b"")
+                if (w, h) != (SYNTH_W, SYNTH_H):
+                    raise ValueError(f"dhash expects {SYNTH_W}x{SYNTH_H}, got {w}x{h}")
+                hi, lo = dhash_py(px, ch)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "dhash_hi": pd.array(his, dtype="Int64"),
+                    "dhash_lo": pd.array(los, dtype="Int64"),
+                }
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select("doc_id", "media_ref", "blob")
+    return imgs.mapInPandas(run, DHASH)
+
+
+def dhash_neardup(hashes: DataFrame, max_dist: int = 3,
+                  id_col: str = "doc_id",
+                  max_bucket: int | None = MAX_BUCKET_DHASH) -> DataFrame:
+    """Image near-duplicate pairs from dHashes via pigeonhole banding —
+    pure Column algebra after the hash (no Python boundary).
+
+    The 56-bit hash splits into four 14-bit bands; any pair within Hamming
+    distance 3 agrees EXACTLY on at least one band (pigeonhole), so
+    candidate generation is a per-band equi-join — each image meets only
+    its band-bucket cohort, never the full corpus. Candidates then pay the
+    exact distance: bit_count(xor) on both halves, keep <= ``max_dist``.
+    ``max_bucket`` caps degenerate buckets exactly like
+    similarity.neardup_pairs (lowest-id members win; mirrored in the oracle
+    twin). At 100 TB this is the scale shape for visual dedup: one narrow
+    (id, hi, lo) projection, a 4x explode, one groupBy-equi-join shuffle —
+    blobs stay behind in the decode stage.
+
+    Output: (a, b, dist) with a < b (ids compared as-is: cast numeric ids
+    BEFORE calling when lexicographic != numeric order).
+    """
+    from pyspark.sql import Window
+
+    slim = hashes.select(F.col(id_col), "dhash_hi", "dhash_lo")
+    bands = None
+    for i in range(4):
+        half = F.col("dhash_hi") if i < 2 else F.col("dhash_lo")
+        key = F.shiftrightunsigned(half, (i % 2) * _DHASH_BAND_BITS).bitwiseAND(
+            F.lit(_DHASH_BAND_MASK)
+        )
+        part = slim.select(
+            F.col(id_col), "dhash_hi", "dhash_lo",
+            F.lit(i).alias("band"), key.alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "key").orderBy(F.asc(id_col))
+        bands = (
+            bands.withColumn("__bn", F.row_number().over(w))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
+    left = bands.select(
+        F.col(id_col).alias("a"), F.col("dhash_hi").alias("ha"),
+        F.col("dhash_lo").alias("la"), "band", "key",
+    )
+    right = bands.select(
+        F.col(id_col).alias("b"), F.col("dhash_hi").alias("hb"),
+        F.col("dhash_lo").alias("lb"), "band", "key",
+    )
+    dist = (
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+    ).cast("int")
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", dist.alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+        .distinct()
+    )

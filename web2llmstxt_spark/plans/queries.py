@@ -1271,6 +1271,79 @@ def sql_video_frames():
     """
 
 
+def q_image_neardup(spark, sf_dir):
+    """Image perceptual-hash near-dup, REAL decode end-to-end: documents get
+    PLANTED near-duplicate 8x8 grayscale PNGs (groups of PHASH_GROUP=4 share
+    a base image, variants perturb row-start pixels — bounded dHash distance
+    <= 3 by construction), encoded with cycling PNG row filters, decoded by
+    the stdlib codec inside mapInPandas, hashed (56-bit dHash), then paired
+    via 4x14-bit pigeonhole banding + exact Hamming filter. The oracle
+    derives the same pixels from md5() hex in SQL and replays the identical
+    band join — an unfilter bug, a hash-bit-order bug, or a banding bug all
+    change the pair set and fail the hash match. Output: (a, b, dist),
+    a < b numeric."""
+    from ..operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.synth_image_groups(docs)
+    hashes = multimodal.image_dhash(media, decoder="png").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    return multimodal.dhash_neardup(
+        hashes, max_dist=3, max_bucket=multimodal.MAX_BUCKET_DHASH
+    )
+
+
+def sql_image_neardup():
+    from ..operators import multimodal
+
+    grp = multimodal.PHASH_GROUP
+    cap = multimodal.MAX_BUCKET_DHASH
+    byte_v = _sql_md5_byte("grp_ref", "p")
+    return f"""
+        WITH refs AS (
+            SELECT doc_id,
+                   'grp-' || CAST(doc_id // {grp} AS VARCHAR) AS grp_ref,
+                   doc_id % {grp} AS variant
+            FROM documents),
+        px AS (
+            SELECT doc_id, p,
+                   CASE WHEN p % 8 = 0 AND p // 8 < variant THEN 255
+                        ELSE {byte_v} END AS v
+            FROM refs CROSS JOIN generate_series(0, 63) AS g(p)),
+        bits AS (
+            -- dHash bit b = (row r, col c) set iff px[8r+c] > px[8r+c+1]
+            SELECT l.doc_id, (l.p // 8) * 7 + (l.p % 8) AS b
+            FROM px l JOIN px r ON l.doc_id = r.doc_id AND r.p = l.p + 1
+            WHERE l.p % 8 <> 7 AND l.v > r.v),
+        h AS (
+            SELECT refs.doc_id,
+                   coalesce(SUM(CASE WHEN b < 28 THEN 1::BIGINT << b END), 0) AS hi,
+                   coalesce(SUM(CASE WHEN b >= 28 THEN 1::BIGINT << (b - 28) END), 0) AS lo
+            FROM refs LEFT JOIN bits ON refs.doc_id = bits.doc_id
+            GROUP BY 1),
+        bands0 AS (
+            SELECT doc_id, hi, lo, band,
+                   CASE band WHEN 0 THEN hi & 16383
+                             WHEN 1 THEN (hi >> 14) & 16383
+                             WHEN 2 THEN lo & 16383
+                             ELSE (lo >> 14) & 16383 END AS key
+            FROM h CROSS JOIN generate_series(0, 3) AS gb(band)),
+        bands AS (
+            SELECT doc_id, hi, lo, band, key FROM (
+                SELECT *, row_number() OVER (PARTITION BY band, key
+                                             ORDER BY doc_id) AS bn
+                FROM bands0
+            ) WHERE bn <= {cap})
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+               CAST(bit_count(xor(l.hi, r.hi))
+                    + bit_count(xor(l.lo, r.lo)) AS INTEGER) AS dist
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) <= 3
+    """
+
+
 def q_span_roundtrip(spark, sf_dir):
     """Interleaved-span round trip on the BASELINE.json input_hint shape.
 
@@ -2150,6 +2223,7 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, sql_media_features),
     "audio_features": (q_audio_features, sql_audio_features),
     "video_frames": (q_video_frames, sql_video_frames),
+    "image_neardup": (q_image_neardup, sql_image_neardup),
     "span_roundtrip": (q_span_roundtrip, sql_span_roundtrip),
     "robots_filter": (q_robots_filter, sql_robots_filter),
     "pagination_discover": (q_pagination_discover, sql_pagination_discover),
