@@ -84,6 +84,7 @@ HEADLINE = [
     "token_stats",
     "video_frames",
     "image_neardup",
+    "audio_neardup",
 ]
 
 

@@ -808,3 +808,196 @@ def dhash_neardup(hashes: DataFrame, max_dist: int = 3,
         .filter(F.col("dist") <= max_dist)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup (energy-difference fingerprint + banding)
+# ---------------------------------------------------------------------------
+
+#: docs per planted near-dup group in synth_audio_groups (same convention as
+#: PHASH_GROUP: doc_id // AFP_GROUP shares a base payload, % picks variant)
+AFP_GROUP = 4
+#: fingerprint geometry: 128 samples -> 64 two-sample energy windows ->
+#: 32 disjoint window-pair comparisons (Haitsma & Kalker 2002 use 32-bit
+#: sub-fingerprints of band-energy differences; this is the time-domain
+#: analogue at our synthetic 128-sample clip length)
+AFP_BITS = SYNTH_SAMPLES // 4                    # 32
+_AFP_BAND_BITS = AFP_BITS // 4                   # 4 bands x 8 bits
+_AFP_BAND_MASK = (1 << _AFP_BAND_BITS) - 1
+#: hot-bucket cap (mirrored in the DuckDB twin) — 2^8 keys per band is far
+#: coarser than dHash's 2^14, so degenerate corpora (silence hashes to 0)
+#: hit the cap sooner; same lowest-id-members-win semantics
+MAX_BUCKET_AFP = 256
+
+
+def synth_group_payload(grp_ref: str, variant: int) -> bytes:
+    """Deterministic PCM payload for a planted audio near-dup group: base
+    bytes = the md5 chain ``md5(grp_ref + ':' + i)`` (the derivation the
+    DuckDB twin replays from md5() hex), then variant ``v`` forces samples
+    4j for j in 0..v-1 to +32767 (bytes ``FF 7F`` little-endian). Sample 4j
+    lies in energy window 2j, and window 2j feeds exactly ONE fingerprint
+    bit (bit j compares windows 2j vs 2j+1 — DISJOINT pairs, unlike dHash's
+    overlapping neighbours), so any two variants of one group differ in at
+    most AFP_GROUP-1 = 3 fingerprint bits — which the 4-band pigeonhole
+    GUARANTEES to surface as a candidate pair."""
+    base = bytearray(
+        b"".join(
+            hashlib.md5(f"{grp_ref}:{i}".encode()).digest()
+            for i in range(_SYNTH_WAV_CHUNKS)
+        )
+    )
+    for j in range(variant):
+        base[8 * j : 8 * j + 2] = b"\xff\x7f"
+    return bytes(base)
+
+
+def synth_audio_groups(documents: DataFrame, id_col: str = "doc_id",
+                       group: int = AFP_GROUP) -> DataFrame:
+    """Derive an audio media table with PLANTED near-duplicate structure:
+    docs sharing ``doc_id // group`` get the same base 128-sample mono
+    16-bit clip, perturbed per variant (synth_group_payload), encoded as
+    REAL RIFF/WAVE (with the planted LIST chunk the decoder must skip). The
+    driver-checked ``audio_neardup`` input."""
+    auds = documents.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.concat(F.lit("wav-"), F.col(id_col).cast("string")).alias("media_ref"),
+        F.concat(
+            F.lit("agrp-"),
+            F.expr(f"cast(cast({id_col} as bigint) div {int(group)} as string)"),
+        ).alias("grp_ref"),
+        (F.col(id_col).cast("long") % group).cast("int").alias("variant"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dur = SYNTH_SAMPLES * 1000 // SYNTH_RATE
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": "audio",
+                    "blob": [
+                        wav.encode_wav(SYNTH_RATE, 1, 16,
+                                       synth_group_payload(g, int(v)))
+                        for g, v in zip(pdf["grp_ref"], pdf["variant"])
+                    ],
+                    "meta": [
+                        {"mime": "audio/wav", "width": None, "height": None,
+                         "duration_ms": dur}
+                        for _ in pdf["media_ref"]
+                    ],
+                }
+            )
+
+    return auds.mapInPandas(run, MEDIA)
+
+
+AFP = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("afp", LongType()),          # 32-bit fingerprint
+    ]
+)
+
+
+def afp_py(samples: list[int]) -> int:
+    """32-bit energy-difference fingerprint of a 128-sample mono clip:
+    window w's integer energy E_w = |s_{2w}| + |s_{2w+1}| (exact — no
+    floats, so the SQL twin is bit-identical); bit b set iff
+    E_{2b} > E_{2b+1}. Window pairs are DISJOINT, so a k-sample edit moves
+    the fingerprint by <= k bits — the locality that makes the planted-group
+    distance bound provable."""
+    if len(samples) != SYNTH_SAMPLES:
+        raise ValueError(f"afp expects {SYNTH_SAMPLES} samples, got {len(samples)}")
+    e = [
+        abs(samples[2 * w]) + abs(samples[2 * w + 1])
+        for w in range(SYNTH_SAMPLES // 2)
+    ]
+    fp = 0
+    for b in range(AFP_BITS):
+        if e[2 * b] > e[2 * b + 1]:
+            fp |= 1 << b
+    return fp
+
+
+def audio_fingerprint(media: DataFrame, decoder: str = "wav") -> DataFrame:
+    """audio blobs -> 32-bit fingerprint via mapInPandas (Arrow batches),
+    REAL decode (functions/wav.py): a chunk-walk or int16 sign bug changes
+    the samples => changes the fingerprint => fails the driver hash match.
+    Output: (doc_id, media_ref, afp)."""
+    if decoder != "wav":
+        raise NotImplementedError(
+            "non-WAV decoders unavailable in this container; production: "
+            "soundfile/ffmpeg decode -> resample -> band energies inside "
+            "this same mapInPandas body"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for blob in pdf["blob"]:
+                _rate, _ch, _bits, samples = wav.decode_wav(
+                    bytes(blob) if blob is not None else b""
+                )
+                fps.append(afp_py(samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "afp": pd.array(fps, dtype="Int64"),
+                }
+            )
+
+    auds = media.filter(F.col("kind") == "audio").select("doc_id", "media_ref", "blob")
+    return auds.mapInPandas(run, AFP)
+
+
+def afp_neardup(fps: DataFrame, max_dist: int = 3,
+                id_col: str = "doc_id",
+                max_bucket: int | None = MAX_BUCKET_AFP) -> DataFrame:
+    """Audio near-duplicate pairs from fingerprints via pigeonhole banding —
+    pure Column algebra after the fingerprint (no Python boundary).
+
+    The 32-bit fingerprint splits into four 8-bit bands; any pair within
+    Hamming distance 3 agrees EXACTLY on at least one band (pigeonhole), so
+    candidate generation is a per-band equi-join. Candidates pay the exact
+    distance (bit_count(xor)), keep <= ``max_dist``. ``max_bucket`` caps
+    degenerate buckets (lowest-id members win; mirrored in the oracle twin).
+    Same 100 TB shape as dhash_neardup: one narrow (id, fp) projection, a
+    4x explode, one groupBy-equi-join shuffle — blobs stay in decode.
+
+    Output: (a, b, dist) with a < b (cast numeric ids BEFORE calling when
+    lexicographic != numeric order).
+    """
+    from pyspark.sql import Window
+
+    slim = fps.select(F.col(id_col), "afp")
+    bands = None
+    for i in range(4):
+        key = F.shiftrightunsigned(F.col("afp"), i * _AFP_BAND_BITS).bitwiseAND(
+            F.lit(_AFP_BAND_MASK)
+        )
+        part = slim.select(
+            F.col(id_col), "afp", F.lit(i).alias("band"), key.alias("key")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "key").orderBy(F.asc(id_col))
+        bands = (
+            bands.withColumn("__bn", F.row_number().over(w))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
+    left = bands.select(F.col(id_col).alias("a"), F.col("afp").alias("fa"),
+                        "band", "key")
+    right = bands.select(F.col(id_col).alias("b"), F.col("afp").alias("fb"),
+                         "band", "key")
+    dist = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int")
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", dist.alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+        .distinct()
+    )

@@ -1344,6 +1344,83 @@ def sql_image_neardup():
     """
 
 
+def q_audio_neardup(spark, sf_dir):
+    """Audio fingerprint near-dup, REAL decode end-to-end: documents get
+    PLANTED near-duplicate 128-sample mono 16-bit WAVs (groups of
+    AFP_GROUP=4 share a base clip, variants force row-aligned samples to
+    +32767 — bounded fingerprint distance <= 3 by construction, since the
+    32 energy-window comparisons are DISJOINT pairs), encoded as real
+    RIFF/WAVE with the planted LIST chunk, decoded by the stdlib codec
+    inside mapInPandas, fingerprinted (32-bit energy-difference, Haitsma &
+    Kalker 2002 style), then paired via 4x8-bit pigeonhole banding + exact
+    Hamming filter. The oracle derives the same int16 samples from md5()
+    hex in SQL and replays the identical band join. Output: (a, b, dist),
+    a < b numeric."""
+    from ..operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.synth_audio_groups(docs)
+    fps = multimodal.audio_fingerprint(media, decoder="wav").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    return multimodal.afp_neardup(
+        fps, max_dist=3, max_bucket=multimodal.MAX_BUCKET_AFP
+    )
+
+
+def sql_audio_neardup():
+    from ..operators import multimodal
+
+    grp = multimodal.AFP_GROUP
+    cap = multimodal.MAX_BUCKET_AFP
+    lo_b = _sql_md5_byte("grp_ref", "k * 2")
+    hi_b = _sql_md5_byte("grp_ref", "k * 2 + 1")
+    return f"""
+        WITH refs AS (
+            SELECT doc_id,
+                   'agrp-' || CAST(doc_id // {grp} AS VARCHAR) AS grp_ref,
+                   doc_id % {grp} AS variant
+            FROM documents),
+        s AS (
+            -- sample k: little-endian signed int16, variant-forced at 4j
+            SELECT doc_id, k,
+                   CASE WHEN k % 4 = 0 AND k // 4 < variant THEN 32767
+                        ELSE CASE WHEN ({lo_b}) + ({hi_b}) * 256 >= 32768
+                                  THEN ({lo_b}) + ({hi_b}) * 256 - 65536
+                                  ELSE ({lo_b}) + ({hi_b}) * 256 END
+                   END AS v
+            FROM refs CROSS JOIN generate_series(0, 127) AS g(k)),
+        e AS (
+            -- energy window w = |s_2w| + |s_2w+1|
+            SELECT doc_id, k // 2 AS w, SUM(abs(v)) AS ew
+            FROM s GROUP BY 1, 2),
+        bits AS (
+            -- fingerprint bit b set iff E_2b > E_2b+1 (disjoint pairs)
+            SELECT l.doc_id, l.w // 2 AS b
+            FROM e l JOIN e r ON l.doc_id = r.doc_id AND r.w = l.w + 1
+            WHERE l.w % 2 = 0 AND l.ew > r.ew),
+        h AS (
+            SELECT refs.doc_id,
+                   coalesce(SUM(1::BIGINT << b), 0) AS fp
+            FROM refs LEFT JOIN bits ON refs.doc_id = bits.doc_id
+            GROUP BY 1),
+        bands0 AS (
+            SELECT doc_id, fp, band, (fp >> (band * 8)) & 255 AS key
+            FROM h CROSS JOIN generate_series(0, 3) AS gb(band)),
+        bands AS (
+            SELECT doc_id, fp, band, key FROM (
+                SELECT *, row_number() OVER (PARTITION BY band, key
+                                             ORDER BY doc_id) AS bn
+                FROM bands0
+            ) WHERE bn <= {cap})
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+               CAST(bit_count(xor(l.fp, r.fp)) AS INTEGER) AS dist
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.fp, r.fp)) <= 3
+    """
+
+
 def q_span_roundtrip(spark, sf_dir):
     """Interleaved-span round trip on the BASELINE.json input_hint shape.
 
@@ -2224,6 +2301,7 @@ REGISTRY: dict[str, tuple] = {
     "audio_features": (q_audio_features, sql_audio_features),
     "video_frames": (q_video_frames, sql_video_frames),
     "image_neardup": (q_image_neardup, sql_image_neardup),
+    "audio_neardup": (q_audio_neardup, sql_audio_neardup),
     "span_roundtrip": (q_span_roundtrip, sql_span_roundtrip),
     "robots_filter": (q_robots_filter, sql_robots_filter),
     "pagination_discover": (q_pagination_discover, sql_pagination_discover),
