@@ -85,6 +85,7 @@ HEADLINE = [
     "video_frames",
     "image_neardup",
     "audio_neardup",
+    "video_neardup",
 ]
 
 

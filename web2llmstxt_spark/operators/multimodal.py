@@ -1001,3 +1001,208 @@ def afp_neardup(fps: DataFrame, max_dist: int = 3,
         .filter(F.col("dist") <= max_dist)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup (per-frame dHash clip signature + cross-frame banding)
+# ---------------------------------------------------------------------------
+
+#: docs per planted near-dup group in synth_video_groups (same convention)
+VFP_GROUP = 4
+#: clip signature geometry: 3 sampled frames x 56-bit dHash = 168 bits,
+#: stored as 3 x (hi, lo) 28-bit halves; banding concatenates three 14-bit
+#: chunks ACROSS the signature into each of 4 x 42-bit band keys, so the
+#: pigeonhole guarantee covers the AGGREGATE distance over all frames
+VFP_FRAMES = 3
+_VFP_CHUNKS = VFP_FRAMES * 4                     # 12 x 14-bit chunks
+_VFP_BANDS = 4                                   # 3 chunks -> one 42-bit key
+MAX_BUCKET_VFP = 256
+
+
+def synth_frame_pixels(grp_ref: str, frame: int, variant: int) -> bytes:
+    """Deterministic 8x8 mono pixels for frame ``frame`` of a planted video
+    near-dup group: base bytes = the md5 chain ``md5(grp_ref:f:i)`` (the
+    synth_y4m_frames derivation, replayed by the DuckDB twin), then variant
+    ``v`` forces pixel 0 (row-0 start) of frames 0..v-1 to 255. A row-start
+    pixel touches exactly ONE dHash comparison (bit 0 of that frame's hash),
+    so any two variants of one group differ by at most VFP_GROUP-1 = 3 bits
+    of the 168-bit clip signature — within the 4-band pigeonhole bound."""
+    base = bytearray(
+        b"".join(
+            hashlib.md5(f"{grp_ref}:{frame}:{i}".encode()).digest()
+            for i in range(_SYNTH_FRAME_CHUNKS)
+        )
+    )
+    if frame < variant:
+        base[0] = 255
+    return bytes(base)
+
+
+def synth_video_groups(documents: DataFrame, id_col: str = "doc_id",
+                       group: int = VFP_GROUP) -> DataFrame:
+    """Derive a video media table with PLANTED near-duplicate structure:
+    docs sharing ``doc_id // group`` get the same base VFP_FRAMES-frame 8x8
+    mono clip, perturbed per variant (synth_frame_pixels), encoded as REAL
+    y4m streams (per-frame parameter tokens the decoder must parse). The
+    driver-checked ``video_neardup`` input."""
+    vids = documents.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.concat(F.lit("y4m-"), F.col(id_col).cast("string")).alias("media_ref"),
+        F.concat(
+            F.lit("vgrp-"),
+            F.expr(f"cast(cast({id_col} as bigint) div {int(group)} as string)"),
+        ).alias("grp_ref"),
+        (F.col(id_col).cast("long") % group).cast("int").alias("variant"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        num, den = SYNTH_FPS
+        dur = VFP_FRAMES * 1000 * den // num
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": "video",
+                    "blob": [
+                        y4m.encode_y4m(
+                            SYNTH_W, SYNTH_H, SYNTH_FPS,
+                            [
+                                synth_frame_pixels(g, f, int(v))
+                                for f in range(VFP_FRAMES)
+                            ],
+                        )
+                        for g, v in zip(pdf["grp_ref"], pdf["variant"])
+                    ],
+                    "meta": [
+                        {"mime": "video/x-yuv4mpeg", "width": SYNTH_W,
+                         "height": SYNTH_H, "duration_ms": dur}
+                        for _ in pdf["media_ref"]
+                    ],
+                }
+            )
+
+    return vids.mapInPandas(run, MEDIA)
+
+
+VFP = StructType(
+    [StructField("doc_id", StringType()), StructField("media_ref", StringType())]
+    + [
+        StructField(f"f{f}_{half}", LongType())
+        for f in range(VFP_FRAMES)
+        for half in ("hi", "lo")
+    ]
+)
+
+
+def video_clip_hash(media: DataFrame, decoder: str = "y4m") -> DataFrame:
+    """video blobs -> 168-bit clip signature (per-frame 56-bit dHash of the
+    first VFP_FRAMES frames) via mapInPandas, REAL decode (functions/y4m.py):
+    a FRAME-header or plane-size bug changes the pixels => the signature =>
+    fails the driver hash match. Output: (doc_id, media_ref, f{0..2}_{hi,lo}).
+
+    Production shape is identical with a real decoder: sample k frames
+    (ffmpeg -vf fps=...), perceptual-hash each, emit one row of 2k ints —
+    the banding below never touches pixel data."""
+    if decoder != "y4m":
+        raise NotImplementedError(
+            "non-y4m decoders unavailable in this container; production: "
+            "ffmpeg frame sampling -> per-frame dHash inside this same "
+            "mapInPandas body"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {f"f{f}_{h}": [] for f in range(VFP_FRAMES)
+                                     for h in ("hi", "lo")}
+            for blob in pdf["blob"]:
+                w, h, _fps, cspace, frames = y4m.decode_y4m(
+                    bytes(blob) if blob is not None else b""
+                )
+                if (w, h) != (SYNTH_W, SYNTH_H) or cspace != "mono":
+                    raise ValueError(
+                        f"clip hash expects {SYNTH_W}x{SYNTH_H} mono, "
+                        f"got {w}x{h} {cspace}"
+                    )
+                if len(frames) < VFP_FRAMES:
+                    raise ValueError(
+                        f"clip hash expects >= {VFP_FRAMES} frames, got {len(frames)}"
+                    )
+                for f in range(VFP_FRAMES):
+                    hi, lo = dhash_py(frames[f], channels=1)
+                    cols[f"f{f}_hi"].append(hi)
+                    cols[f"f{f}_lo"].append(lo)
+            out = {"doc_id": pdf["doc_id"], "media_ref": pdf["media_ref"]}
+            out.update({k: pd.array(v, dtype="Int64") for k, v in cols.items()})
+            yield pd.DataFrame(out)
+
+    vids = media.filter(F.col("kind") == "video").select("doc_id", "media_ref", "blob")
+    return vids.mapInPandas(run, VFP)
+
+
+def _vfp_chunk(cols: list, idx: int):
+    """14-bit chunk ``idx`` of the 168-bit clip signature: signature order is
+    frame-major (f0_hi, f0_lo, f1_hi, ...), each 28-bit half holding two
+    chunks (low 14 first)."""
+    half = cols[idx // 2]
+    return F.shiftrightunsigned(half, (idx % 2) * 14).bitwiseAND(F.lit(16383))
+
+
+def vfp_neardup(hashes: DataFrame, max_dist: int = 3,
+                id_col: str = "doc_id",
+                max_bucket: int | None = MAX_BUCKET_VFP) -> DataFrame:
+    """Video near-duplicate pairs from clip signatures via CROSS-FRAME
+    pigeonhole banding — pure Column algebra after the hash.
+
+    The 168-bit signature (3 frames x 56-bit dHash) splits into 12 x 14-bit
+    chunks; band i concatenates chunks 3i..3i+2 into one 42-bit key, so any
+    pair within AGGREGATE Hamming distance 3 (summed over all frames) agrees
+    EXACTLY on at least one band. Candidates pay the exact distance:
+    bit_count(xor) summed over the six 28-bit halves. Same 100 TB shape as
+    the image/audio paths: narrow (id, 6 ints) projection, 4x explode, one
+    groupBy-equi-join shuffle — frames and blobs stay in the decode stage.
+
+    Output: (a, b, dist) with a < b."""
+    from pyspark.sql import Window
+
+    halves = [f"f{f}_{h}" for f in range(VFP_FRAMES) for h in ("hi", "lo")]
+    slim = hashes.select(F.col(id_col), *halves)
+    hcols = [F.col(c) for c in halves]
+    bands = None
+    for i in range(_VFP_BANDS):
+        key = (
+            _vfp_chunk(hcols, 3 * i)
+            + (_vfp_chunk(hcols, 3 * i + 1) * F.lit(1 << 14))
+            + (_vfp_chunk(hcols, 3 * i + 2) * F.lit(1 << 28))
+        )
+        part = slim.select(
+            F.col(id_col), *halves, F.lit(i).alias("band"), key.alias("key")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "key").orderBy(F.asc(id_col))
+        bands = (
+            bands.withColumn("__bn", F.row_number().over(w))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
+    left = bands.select(
+        F.col(id_col).alias("a"),
+        *[F.col(c).alias(f"a_{c}") for c in halves], "band", "key",
+    )
+    right = bands.select(
+        F.col(id_col).alias("b"),
+        *[F.col(c).alias(f"b_{c}") for c in halves], "band", "key",
+    )
+    dist = None
+    for c in halves:
+        term = F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+        dist = term if dist is None else dist + term
+    dist = dist.cast("int")
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", dist.alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+        .distinct()
+    )

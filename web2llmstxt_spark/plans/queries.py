@@ -1421,6 +1421,103 @@ def sql_audio_neardup():
     """
 
 
+def q_video_neardup(spark, sf_dir):
+    """Video near-dup, REAL decode end-to-end: documents get PLANTED
+    near-duplicate 3-frame 8x8 mono y4m clips (groups of VFP_GROUP=4 share
+    base frames, variant v forces pixel 0 of frames 0..v-1 — bounded
+    AGGREGATE signature distance <= 3 by construction), decoded by the
+    stdlib y4m codec inside mapInPandas (per-frame parameter tokens must be
+    parsed), per-frame dHashed into a 168-bit clip signature, then paired
+    via 4x42-bit CROSS-FRAME pigeonhole banding + exact summed Hamming
+    filter. The oracle derives the same frame pixels from md5() hex in SQL
+    and replays the identical band join. Output: (a, b, dist), a < b
+    numeric."""
+    from ..operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.synth_video_groups(docs)
+    hashes = multimodal.video_clip_hash(media, decoder="y4m").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    return multimodal.vfp_neardup(
+        hashes, max_dist=3, max_bucket=multimodal.MAX_BUCKET_VFP
+    )
+
+
+def sql_video_neardup():
+    from ..operators import multimodal
+
+    grp = multimodal.VFP_GROUP
+    cap = multimodal.MAX_BUCKET_VFP
+    byte_v = _sql_md5_byte("grp_ref || ':' || CAST(f AS VARCHAR)", "p")
+    return f"""
+        WITH refs AS (
+            SELECT doc_id,
+                   'vgrp-' || CAST(doc_id // {grp} AS VARCHAR) AS grp_ref,
+                   doc_id % {grp} AS variant
+            FROM documents),
+        px AS (
+            SELECT doc_id, f, p,
+                   CASE WHEN p = 0 AND f < variant THEN 255
+                        ELSE {byte_v} END AS v
+            FROM refs
+            CROSS JOIN generate_series(0, 2) AS gf(f)
+            CROSS JOIN generate_series(0, 63) AS gp(p)),
+        bits AS (
+            -- per-frame dHash bit b = (row r, col c) set iff px[8r+c] > px[8r+c+1]
+            SELECT l.doc_id, l.f, (l.p // 8) * 7 + (l.p % 8) AS b
+            FROM px l JOIN px r
+              ON l.doc_id = r.doc_id AND l.f = r.f AND r.p = l.p + 1
+            WHERE l.p % 8 <> 7 AND l.v > r.v),
+        hf AS (
+            SELECT doc_id, f,
+                   coalesce(SUM(CASE WHEN b < 28 THEN 1::BIGINT << b END), 0) AS hi,
+                   coalesce(SUM(CASE WHEN b >= 28 THEN 1::BIGINT << (b - 28) END), 0) AS lo
+            FROM bits GROUP BY 1, 2),
+        h AS (
+            -- one row per doc: the 168-bit signature as six 28-bit halves
+            SELECT refs.doc_id,
+                   coalesce(SUM(CASE WHEN f = 0 THEN hi END), 0) AS f0h,
+                   coalesce(SUM(CASE WHEN f = 0 THEN lo END), 0) AS f0l,
+                   coalesce(SUM(CASE WHEN f = 1 THEN hi END), 0) AS f1h,
+                   coalesce(SUM(CASE WHEN f = 1 THEN lo END), 0) AS f1l,
+                   coalesce(SUM(CASE WHEN f = 2 THEN hi END), 0) AS f2h,
+                   coalesce(SUM(CASE WHEN f = 2 THEN lo END), 0) AS f2l
+            FROM refs LEFT JOIN hf ON refs.doc_id = hf.doc_id
+            GROUP BY 1),
+        bands0 AS (
+            -- band i concatenates 14-bit chunks 3i..3i+2 (frame-major order)
+            SELECT doc_id, f0h, f0l, f1h, f1l, f2h, f2l, band,
+                   CASE band
+                     WHEN 0 THEN (f0h & 16383) + (((f0h >> 14) & 16383) << 14)
+                                 + ((f0l & 16383) << 28)
+                     WHEN 1 THEN ((f0l >> 14) & 16383) + ((f1h & 16383) << 14)
+                                 + (((f1h >> 14) & 16383) << 28)
+                     WHEN 2 THEN (f1l & 16383) + (((f1l >> 14) & 16383) << 14)
+                                 + ((f2h & 16383) << 28)
+                     ELSE ((f2h >> 14) & 16383) + ((f2l & 16383) << 14)
+                                 + (((f2l >> 14) & 16383) << 28)
+                   END AS key
+            FROM h CROSS JOIN generate_series(0, 3) AS gb(band)),
+        bands AS (
+            SELECT doc_id, f0h, f0l, f1h, f1l, f2h, f2l, band, key FROM (
+                SELECT *, row_number() OVER (PARTITION BY band, key
+                                             ORDER BY doc_id) AS bn
+                FROM bands0
+            ) WHERE bn <= {cap})
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+               CAST(bit_count(xor(l.f0h, r.f0h)) + bit_count(xor(l.f0l, r.f0l))
+                    + bit_count(xor(l.f1h, r.f1h)) + bit_count(xor(l.f1l, r.f1l))
+                    + bit_count(xor(l.f2h, r.f2h)) + bit_count(xor(l.f2l, r.f2l))
+                    AS INTEGER) AS dist
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.f0h, r.f0h)) + bit_count(xor(l.f0l, r.f0l))
+              + bit_count(xor(l.f1h, r.f1h)) + bit_count(xor(l.f1l, r.f1l))
+              + bit_count(xor(l.f2h, r.f2h)) + bit_count(xor(l.f2l, r.f2l)) <= 3
+    """
+
+
 def q_span_roundtrip(spark, sf_dir):
     """Interleaved-span round trip on the BASELINE.json input_hint shape.
 
@@ -2302,6 +2399,7 @@ REGISTRY: dict[str, tuple] = {
     "video_frames": (q_video_frames, sql_video_frames),
     "image_neardup": (q_image_neardup, sql_image_neardup),
     "audio_neardup": (q_audio_neardup, sql_audio_neardup),
+    "video_neardup": (q_video_neardup, sql_video_neardup),
     "span_roundtrip": (q_span_roundtrip, sql_span_roundtrip),
     "robots_filter": (q_robots_filter, sql_robots_filter),
     "pagination_discover": (q_pagination_discover, sql_pagination_discover),
