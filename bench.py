@@ -86,6 +86,7 @@ HEADLINE = [
     "image_neardup",
     "audio_neardup",
     "video_neardup",
+    "url_canon_cluster",
 ]
 
 

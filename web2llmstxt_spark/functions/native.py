@@ -318,3 +318,68 @@ def robots_disallowed_sql(url_expr: str, rules_by_host: dict) -> str:
         for h, rule, prefix in _ordered_robots_rules(rules_by_host)
     )
     return f"(CASE {whens}ELSE FALSE END)"
+
+
+# ------------------------------------------------------- URL canonicalization
+
+def canon_url_native(url: Column) -> Column:
+    """JVM Column twin of ``kernels.normalize_url`` (P1) for crawl-shaped
+    URLs — the alias-collapse step a frontier runs on EVERY discovered link
+    before the seen-check, so at a 10^10-URL frontier it must stay inside
+    whole-stage codegen (the pandas-UDF kernel remains the parity oracle).
+
+    Bounded contract (exactly what link extraction emits and the synthetic
+    corpora generate; asserted by tests/test_canon.py against the kernel):
+    no userinfo/port/;params, query keys unique with non-blank values, and
+    percent-encoding already canonical (urlencode would re-quote exotic
+    bytes; the JVM twin does not).
+
+    Ref semantics: crawler/web_crawler.py:371-395 — drop fragment, lowercase
+    scheme+netloc, rstrip trailing '/' from path (empty -> '/'), drop the 15
+    tracking params, preserve remaining param order.
+    """
+    nofrag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    rawpath = F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1)
+    stripped = F.regexp_replace(rawpath, "/+$", "")
+    path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+    query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    tracking = [F.lit(t) for t in sorted(kernels.TRACKING_PARAMS)]
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.size(F.split(p, "=")) >= 2)
+        & (F.element_at(F.split(p, "="), 2) != "")
+        & ~F.lower(F.element_at(F.split(p, "="), 1)).isin(
+            sorted(kernels.TRACKING_PARAMS)
+        ),
+    )
+    newq = F.array_join(kept, "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(newq != "", F.concat(F.lit("?"), newq)).otherwise(F.lit("")),
+    )
+
+
+def canon_url_sql(url_expr: str) -> str:
+    """DuckDB twin of canon_url_native: identical regex surgery + list_filter
+    param drop, so oracle rows canonicalize byte-for-byte with the JVM path."""
+    tracking = ", ".join(f"'{t}'" for t in sorted(kernels.TRACKING_PARAMS))
+    nofrag = f"regexp_replace({url_expr}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({nofrag}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    host = f"lower(regexp_extract({nofrag}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1))"
+    rawpath = (
+        f"regexp_extract({nofrag}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1)"
+    )
+    path = f"coalesce(nullif(regexp_replace({rawpath}, '/+$', ''), ''), '/')"
+    query = f"regexp_extract({nofrag}, '\\?(.*)$', 1)"
+    kept = (
+        f"list_filter(string_split({query}, '&'), p -> "
+        f"len(string_split(p, '=')) >= 2 AND string_split(p, '=')[2] != '' "
+        f"AND NOT list_contains([{tracking}], lower(string_split(p, '=')[1])))"
+    )
+    newq = f"array_to_string({kept}, '&')"
+    return (
+        f"({scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {newq} != '' THEN '?' || {newq} ELSE '' END)"
+    )

@@ -2362,6 +2362,80 @@ def sql_ann_pq(m: int = pq.PQ_M, ksub: int = pq.PQ_KSUB, k: int = 10):
     """
 
 
+def _canon_base_path():
+    """Path part of the synthetic URL (no suffix cases) — alias variants are
+    built around it so every alias of a doc collapses to one canonical URL."""
+    seg = F.when(F.col("lang") == "en", "docs")
+    for lang, s in list(_LANG_SEG.items())[1:]:
+        seg = seg.when(F.col("lang") == lang, s)
+    seg = seg.otherwise(F.lit("misc"))
+    first_word = F.get(F.split(F.col("text"), " "), 0)
+    return F.concat(
+        F.lit("/"), seg, F.lit("/"), first_word, F.lit("-"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+_SYNTH_PATH_SQL = (
+    "('/' || (CASE lang WHEN 'en' THEN 'docs' WHEN 'fr' THEN 'blog' "
+    "WHEN 'de' THEN 'login' WHEN 'es' THEN 'download' ELSE 'misc' END) || '/' "
+    "|| string_split(text, ' ')[1] || '-' || doc_id)"
+)
+
+
+def q_url_canon_cluster(spark, sf_dir):
+    """P1 at frontier scale: collapse URL aliases (scheme/host case, trailing
+    slash, fragment, tracking params) into canonical clusters BEFORE the
+    seen-check — otherwise every alias re-enters the frontier as a distinct
+    URL and the seen set grows by the alias factor. Pure JVM canonicalizer
+    (native.canon_url_native); one groupBy on the canonical key is the only
+    shuffle, and it moves URL strings, never page bytes."""
+    docs = load(spark, sf_dir, "documents")
+    path = _canon_base_path()
+    base = F.concat(F.lit(BASE_URL), path)
+    d = F.col("doc_id")
+    variants = [
+        docs.select(base.alias("raw")),
+        docs.filter(d % 2 == 0).select(F.concat(base, F.lit("/")).alias("raw")),
+        docs.filter(d % 3 == 0).select(
+            F.concat(base, F.lit("?utm_source=news&ref=sidebar")).alias("raw")
+        ),
+        docs.filter(d % 5 == 0).select(
+            F.concat(F.lit("HTTPS://EX.EXAMPLE"), path, F.lit("#frag")).alias("raw")
+        ),
+        docs.filter(d % 7 == 0).select(F.concat(base, F.lit("?page=2")).alias("raw")),
+    ]
+    raw = variants[0]
+    for v in variants[1:]:
+        raw = raw.unionAll(v)
+    return (
+        raw.select(native.canon_url_native(F.col("raw")).alias("url"))
+        .groupBy("url")
+        .agg(F.count("*").alias("n_variants"))
+    )
+
+
+def sql_url_canon_cluster():
+    b = BASE_URL
+    return f"""
+        WITH paths AS (SELECT {_SYNTH_PATH_SQL} AS p, doc_id FROM documents),
+        raw AS (
+            SELECT '{b}' || p AS raw FROM paths
+            UNION ALL
+            SELECT '{b}' || p || '/' FROM paths WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT '{b}' || p || '?utm_source=news&ref=sidebar' FROM paths
+            WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT 'HTTPS://EX.EXAMPLE' || p || '#frag' FROM paths
+            WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT '{b}' || p || '?page=2' FROM paths WHERE doc_id % 7 = 0)
+        SELECT {native.canon_url_sql('raw')} AS url, count(*) AS n_variants
+        FROM raw GROUP BY 1
+    """
+
+
 REGISTRY: dict[str, tuple] = {
     # name: (spark_builder, oracle_sql_builder or None)
     "frontier_topk": (q_frontier_topk, sql_frontier_topk),
@@ -2426,4 +2500,5 @@ REGISTRY: dict[str, tuple] = {
     "cms_topk": (q_cms_topk, sql_cms_topk),
     "hll_distinct": (q_hll_distinct, sql_hll_distinct),
     "length_quantiles": (q_length_quantiles, sql_length_quantiles),
+    "url_canon_cluster": (q_url_canon_cluster, sql_url_canon_cluster),
 }
