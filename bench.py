@@ -87,6 +87,7 @@ HEADLINE = [
     "audio_neardup",
     "video_neardup",
     "url_canon_cluster",
+    "warc_parse",
 ]
 
 

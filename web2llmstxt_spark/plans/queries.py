@@ -2436,6 +2436,47 @@ def sql_url_canon_cluster():
     """
 
 
+def q_warc_parse(spark, sf_dir):
+    """WARC round trip (sources/warc.py): serialize documents into 8
+    gzip-member .warc archives with applyInPandas (records laid down in
+    doc_id order inside the owning executor), then scan them back with the
+    distributed mapInPandas parser. The oracle recomputes url/status/
+    content-type/length/md5 straight from the source table, so one corrupted
+    byte in the record framing, the HTTP block, or the gzip member layer
+    fails the hash match — this row verifies the FORMAT, not just plumbing.
+    Status/content-type variety: every 19th doc 404s, every 13th redirects,
+    and %11 docs are the synth URL's /logo.png (image/png)."""
+    from ..sources import warc
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pages = docs.select(
+        "doc_id",
+        synth_url_col().alias("url"),
+        F.when(d % 19 == 0, 404).when(d % 13 == 0, 301).otherwise(200)
+        .alias("status"),
+        F.when(d % 11 == 0, "image/png").otherwise("text/html")
+        .alias("content_type"),
+        F.col("text").alias("body"),
+    )
+    blobs = warc.synth_warc_blobs(pages, n_shards=8, compress=True)
+    return warc.warc_scan(blobs)
+
+
+def sql_warc_parse():
+    return f"""
+        SELECT {SYNTH_URL_SQL} AS url,
+               CAST(CASE WHEN doc_id % 19 = 0 THEN 404
+                         WHEN doc_id % 13 = 0 THEN 301
+                         ELSE 200 END AS INTEGER) AS status,
+               CASE WHEN doc_id % 11 = 0 THEN 'image/png'
+                    ELSE 'text/html' END AS content_type,
+               octet_length(encode(text)) AS content_length,
+               md5(text) AS body_md5
+        FROM documents
+    """
+
+
 REGISTRY: dict[str, tuple] = {
     # name: (spark_builder, oracle_sql_builder or None)
     "frontier_topk": (q_frontier_topk, sql_frontier_topk),
@@ -2501,4 +2542,5 @@ REGISTRY: dict[str, tuple] = {
     "hll_distinct": (q_hll_distinct, sql_hll_distinct),
     "length_quantiles": (q_length_quantiles, sql_length_quantiles),
     "url_canon_cluster": (q_url_canon_cluster, sql_url_canon_cluster),
+    "warc_parse": (q_warc_parse, sql_warc_parse),
 }

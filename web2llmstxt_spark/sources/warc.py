@@ -1,0 +1,281 @@
+"""WARC (Web ARChive, ISO 28500) source — the crawl-native storage format.
+
+A production crawl at 10^10-URL scale doesn't hand pages around as parquet
+strings: fetchers emit WARC response records (Common Crawl publishes ~100 TB
+of them per monthly snapshot), and the distillation pipeline's first stage is
+a distributed WARC scan. The reference tool never persists raw fetches (it
+crawls and distills in one process — crawler/web_crawler.py keeps pages in
+memory), so this module EXTENDS the reference's data model with the format
+the same pipeline needs once fetch and distill are separate jobs.
+
+Format implemented (subset sufficient for response archives, matching what
+Common Crawl emits):
+- WARC/1.0 response records: named headers, CRLF line ends, the mandatory
+  ``Content-Length`` octet count, record body = full HTTP response message,
+  records separated by CRLF CRLF (WARC/1.0 §4).
+- Optional per-record gzip members (``.warc.gz``): each record is its own
+  gzip member and members are concatenated — the Common Crawl layout that
+  makes a 1 GB archive splittable at record granularity without a central
+  index (readers resync on the next gzip magic via ``unused_data``).
+
+Scale shape: ``spark.read.format("binaryFile")`` lists archives cheaply and
+hands each executor whole files; ``warc_scan`` parses them inside ONE
+``mapInPandas`` pass (Arrow batches, no per-row Python dispatch) and emits
+only the small projected columns (url, status, digest, length) — archive
+bytes never cross a shuffle. One archive = one task, the same unit of work
+as Common Crawl's own processing guidance; skew across archive sizes is
+handled upstream by writing fixed-size archives (shard count is the writer's
+knob, ``synth_warc_blobs``).
+
+Determinism contract (what the ``warc_parse`` oracle verifies): writer and
+parser round-trip every payload byte — the oracle recomputes url/status/
+length/md5 from the source table in SQL, so a single corrupted byte in
+either the record framing or the gzip member layer fails the hash match.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import zlib
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CRLF = b"\r\n"
+
+#: fixed WARC-Date for synthetic archives — WARC requires the header; the
+#: synthetic corpus has no fetch clock, and a pinned value keeps writer
+#: output byte-deterministic (tests diff whole archives).
+SYNTH_DATE = "2026-01-01T00:00:00Z"
+
+WARC_SCAN_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("status", IntegerType()),
+        StructField("content_type", StringType()),
+        StructField("content_length", LongType()),
+        StructField("body_md5", StringType()),
+    ]
+)
+
+WARC_BLOB_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("warc", BinaryType()),
+    ]
+)
+
+
+# ------------------------------------------------------------------- writer
+
+def _record_id(url: str) -> str:
+    """Deterministic WARC-Record-ID: md5(url) rendered as a urn:uuid (the
+    header is mandatory per WARC/1.0 §5.2; a content-derived id keeps
+    archives reproducible where a real crawler would mint a random uuid)."""
+    h = hashlib.md5(url.encode("utf-8")).hexdigest()
+    return f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+
+
+def build_record(
+    url: str,
+    payload: bytes,
+    status: int = 200,
+    content_type: str = "text/html",
+    date: str = SYNTH_DATE,
+) -> bytes:
+    """One WARC/1.0 response record: WARC headers + HTTP response message.
+
+    ``Content-Length`` is the octet count of the HTTP block (status line +
+    headers + blank line + payload) — the field every splitter relies on to
+    skip a record without parsing its body.
+    """
+    reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}.get(
+        status, "Unknown"
+    )
+    http = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode("ascii") + payload
+    warc_headers = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Record-ID: {_record_id(url)}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode("ascii")
+    return warc_headers + http + CRLF + CRLF
+
+
+def _gzip_member(record: bytes) -> bytes:
+    """One gzip member per record (mtime pinned to 0 for byte determinism)."""
+    return gzip.compress(record, compresslevel=6, mtime=0)
+
+
+def build_warc(records: Iterable[bytes], compress: bool = True) -> bytes:
+    """Concatenate records into one archive blob (gzip-member per record
+    when ``compress``, plain concatenation otherwise)."""
+    if compress:
+        return b"".join(_gzip_member(r) for r in records)
+    return b"".join(records)
+
+
+# ------------------------------------------------------------------- parser
+
+def _split_members(blob: bytes) -> Iterator[bytes]:
+    """Yield decompressed gzip members from a multi-member blob.
+
+    zlib's ``unused_data`` hands back the bytes after each member's end —
+    the standard resync loop (also how Common Crawl readers split records
+    out of a .warc.gz without an index).
+    """
+    buf = blob
+    while buf:
+        d = zlib.decompressobj(wbits=31)
+        yield d.decompress(buf) + d.flush()
+        buf = d.unused_data
+
+
+def _parse_headers(block: bytes) -> dict:
+    headers = {}
+    for line in block.split(CRLF):
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().lower()] = v.strip()
+    return headers
+
+
+def parse_warc(blob: bytes, compressed: bool | None = None) -> Iterator[dict]:
+    """Parse an archive blob into response-record dicts.
+
+    ``compressed=None`` sniffs the gzip magic. Each yielded dict carries
+    (url, status, content_type, content_length, body_md5) — the projection
+    a distillation scan needs; callers wanting payload bytes use
+    ``parse_warc_full``.
+    """
+    for rec in parse_warc_full(blob, compressed=compressed):
+        yield {
+            "url": rec["url"],
+            "status": rec["status"],
+            "content_type": rec["content_type"],
+            "content_length": rec["content_length"],
+            "body_md5": hashlib.md5(rec["payload"]).hexdigest(),
+        }
+
+
+def parse_warc_full(blob: bytes, compressed: bool | None = None) -> Iterator[dict]:
+    """Like ``parse_warc`` but yields the raw ``payload`` bytes too."""
+    if compressed is None:
+        compressed = blob[:2] == b"\x1f\x8b"
+    records = _split_members(blob) if compressed else _split_plain(blob)
+    for rec in records:
+        head_end = rec.find(CRLF + CRLF)
+        if head_end < 0:
+            continue
+        wh = _parse_headers(rec[:head_end])
+        if wh.get(b"warc-type") != b"response":
+            continue
+        clen = int(wh[b"content-length"])
+        http = rec[head_end + 4 : head_end + 4 + clen]
+        status_line_end = http.find(CRLF)
+        status = int(http[:status_line_end].split(b" ")[1])
+        http_head_end = http.find(CRLF + CRLF)
+        hh = _parse_headers(http[status_line_end + 2 : http_head_end])
+        payload = http[http_head_end + 4 :]
+        yield {
+            "url": wh[b"warc-target-uri"].decode("utf-8"),
+            "status": status,
+            "content_type": hh.get(b"content-type", b"").decode("ascii"),
+            "content_length": len(payload),
+            "payload": payload,
+        }
+
+
+def _split_plain(blob: bytes) -> Iterator[bytes]:
+    """Split an uncompressed archive on record boundaries using each
+    record's own Content-Length (NOT a naive split on CRLFCRLF, which a
+    payload could contain)."""
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        head_end = blob.find(CRLF + CRLF, pos)
+        if head_end < 0:
+            return
+        wh = _parse_headers(blob[pos:head_end])
+        clen = int(wh.get(b"content-length", b"0"))
+        rec_end = head_end + 4 + clen
+        yield blob[pos:rec_end]
+        pos = rec_end + 4  # skip the CRLF CRLF record separator
+
+
+# ------------------------------------------------------------- Spark stages
+
+def warc_scan(blobs: DataFrame, blob_col: str = "warc") -> DataFrame:
+    """Distributed WARC scan: (…, warc:binary) -> one row per response
+    record, via ONE mapInPandas pass (Arrow batches; archive bytes stay
+    inside the task that read them — only the tiny projection shuffles)."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [rec for blob in pdf[blob_col] for rec in parse_warc(bytes(blob))]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_SCAN_SCHEMA.fields]
+            )
+
+    return blobs.mapInPandas(run, WARC_SCAN_SCHEMA)
+
+
+def read_warc(spark, path: str) -> DataFrame:
+    """Read .warc / .warc.gz archives from disk: binaryFile listing (whole
+    file per task — the splittable unit IS the archive) -> warc_scan."""
+    files = spark.read.format("binaryFile").load(path)
+    return warc_scan(files.select(F.col("content").alias("warc")))
+
+
+def synth_warc_blobs(
+    docs: DataFrame, n_shards: int = 8, compress: bool = True
+) -> DataFrame:
+    """Serialize a (doc_id, url, status, content_type, body) DataFrame into
+    ``n_shards`` WARC archive blobs — the writer half of the round trip.
+
+    groupBy(shard).applyInPandas builds each archive in the executor that
+    owns the shard's rows; records are laid down in doc_id order so the
+    archive bytes are deterministic regardless of upstream partitioning.
+    """
+
+    def build(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        records = (
+            build_record(
+                r.url,
+                r.body.encode("utf-8"),
+                status=int(r.status),
+                content_type=r.content_type,
+            )
+            for r in pdf.itertuples()
+        )
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])],
+             "warc": [build_warc(records, compress=compress)]}
+        )
+
+    with_shard = docs.withColumn(
+        "shard", (F.col("doc_id") % n_shards).cast("int")
+    )
+    return with_shard.groupBy("shard").applyInPandas(build, WARC_BLOB_SCHEMA)
