@@ -88,6 +88,7 @@ HEADLINE = [
     "video_neardup",
     "url_canon_cluster",
     "warc_parse",
+    "recrawl_schedule",
 ]
 
 

@@ -64,3 +64,69 @@ def invalidation_set(diff: DataFrame, key_col: str = "url") -> DataFrame:
     reason the cuckoo seen-filter variant exists (Bloom cannot delete;
     COVERAGE.md J1)."""
     return diff.filter(F.col("change").isin(CHANGED, REMOVED)).select(key_col)
+
+
+def recrawl_schedule(
+    history: DataFrame,
+    now_epoch: int,
+    budget: int,
+    key_col: str = "url",
+) -> DataFrame:
+    """Change-rate-driven recrawl scheduling — which URLs to spend the next
+    crawl budget on (the Cho/Garcia-Molina "synchronizing a web database"
+    policy family: revisit frequency proportional to observed change rate,
+    staleness-weighted).
+
+    Input ``history``: one row per (url, epoch:int, h:string) content-hash
+    observation across past crawl epochs (exactly what `snapshot_diff`
+    consumes; `state/checkpoint.py` snapshots provide it). Per URL it
+    derives, with ONE shuffle on the url key (the lag window and the
+    aggregate share the partitioning, so Catalyst plans a single exchange):
+
+    - ``n_obs``      observations, ``last_epoch`` = most recent crawl
+    - ``n_changes``  epochs whose hash differs from the previous observation
+    - ``priority``   = floor((now - last_epoch) * (n_changes + 1) * 1000
+                             / span), span = last_epoch - first_epoch
+
+    i.e. staleness x Laplace-smoothed change count, scaled to an INTEGER so
+    the score is bit-identical across engines (no float division). The +1
+    smoothing keeps never-changed pages aging (exploration); a page never
+    recrawled since ``first_epoch`` has span clamped to 1.
+
+    Output: the ``budget`` most-overdue URLs, ties broken by url — a
+    distributed top-k (TakeOrdered, no global sort materializes). Only
+    (url, epoch, 32-byte hash) rows shuffle; page bytes never enter."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy("epoch")
+    changed = history.select(
+        key_col,
+        "epoch",
+        (F.lag("h").over(w).isNotNull() & (F.col("h") != F.lag("h").over(w)))
+        .cast("int")
+        .alias("chg"),
+    )
+    stats = changed.groupBy(key_col).agg(
+        F.count("*").alias("n_obs"),
+        F.sum("chg").alias("n_changes"),
+        F.min("epoch").alias("first_epoch"),
+        F.max("epoch").alias("last_epoch"),
+    )
+    span = F.greatest(F.col("last_epoch") - F.col("first_epoch"), F.lit(1))
+    priority = F.floor(
+        (F.lit(now_epoch) - F.col("last_epoch"))
+        * (F.col("n_changes") + 1)
+        * 1000
+        / span
+    )
+    return (
+        stats.select(
+            key_col,
+            "n_obs",
+            "n_changes",
+            "last_epoch",
+            priority.alias("priority"),
+        )
+        .orderBy(F.desc("priority"), key_col)
+        .limit(budget)
+    )

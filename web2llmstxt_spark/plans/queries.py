@@ -2477,6 +2477,81 @@ def sql_warc_parse():
     """
 
 
+def q_recrawl_schedule(spark, sf_dir):
+    """Continuous-recrawl scheduling (snapshot.recrawl_schedule): synthesize
+    5 crawl epochs of content-hash history — hot docs (doc_id%10<2) change
+    every ~2 epochs, warm (<5) every ~3, cold effectively never, and each
+    doc's last crawl epoch varies by doc_id%3 — then rank URLs by the
+    integer staleness x smoothed-change-count score and take the top-100
+    recrawl budget. Exercises the full lag-window change detection, not a
+    precomputed change count."""
+    from ..operators import snapshot
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    p = F.when(d % 10 < 2, 2).when(d % 10 < 5, 3).otherwise(1000)
+    base = docs.select(
+        synth_url_col().alias("url"),
+        d,
+        "text",
+        p.alias("p"),
+        F.explode(
+            F.sequence(F.lit(0), (F.lit(4) - d % 3).cast("int"))
+        ).alias("epoch"),
+    )
+    version = F.size(
+        F.filter(
+            F.when(F.col("epoch") == 0, F.array().cast("array<int>")).otherwise(
+                F.sequence(F.lit(1), F.col("epoch"))
+            ),
+            lambda s: (F.col("doc_id") + s) % F.col("p") == 0,
+        )
+    )
+    history = base.select(
+        "url",
+        "epoch",
+        F.md5(
+            F.concat(F.col("text"), F.lit(":"), version.cast("string"))
+        ).alias("h"),
+    )
+    return snapshot.recrawl_schedule(history, now_epoch=6, budget=100)
+
+
+def sql_recrawl_schedule():
+    return f"""
+        WITH base AS (
+            SELECT {SYNTH_URL_SQL} AS url, doc_id, text,
+                   CASE WHEN doc_id % 10 < 2 THEN 2
+                        WHEN doc_id % 10 < 5 THEN 3
+                        ELSE 1000 END AS p,
+                   unnest(range(0, 5 - doc_id % 3)) AS epoch
+            FROM documents),
+        hist AS (
+            SELECT url, epoch,
+                   md5(text || ':' || CAST(len(list_filter(
+                       range(1, epoch + 1), s -> (doc_id + s) % p = 0
+                   )) AS VARCHAR)) AS h
+            FROM base),
+        chg AS (
+            SELECT url, epoch,
+                   CASE WHEN lag(h) OVER w IS NOT NULL
+                             AND h != lag(h) OVER w THEN 1 ELSE 0 END AS chg
+            FROM hist WINDOW w AS (PARTITION BY url ORDER BY epoch)),
+        stats AS (
+            SELECT url, count(*) AS n_obs,
+                   CAST(sum(chg) AS BIGINT) AS n_changes,
+                   min(epoch) AS first_epoch, max(epoch) AS last_epoch
+            FROM chg GROUP BY url)
+        SELECT url, n_obs, n_changes, last_epoch,
+               CAST(((6 - last_epoch) * (n_changes + 1) * 1000)
+                   // greatest(last_epoch - first_epoch, 1) AS BIGINT)
+                   AS priority
+        FROM stats
+        ORDER BY priority DESC, url
+        LIMIT 100
+    """
+
+
 REGISTRY: dict[str, tuple] = {
     # name: (spark_builder, oracle_sql_builder or None)
     "frontier_topk": (q_frontier_topk, sql_frontier_topk),
@@ -2543,4 +2618,5 @@ REGISTRY: dict[str, tuple] = {
     "length_quantiles": (q_length_quantiles, sql_length_quantiles),
     "url_canon_cluster": (q_url_canon_cluster, sql_url_canon_cluster),
     "warc_parse": (q_warc_parse, sql_warc_parse),
+    "recrawl_schedule": (q_recrawl_schedule, sql_recrawl_schedule),
 }
