@@ -89,6 +89,7 @@ HEADLINE = [
     "url_canon_cluster",
     "warc_parse",
     "recrawl_schedule",
+    "bpe_merges",
 ]
 
 

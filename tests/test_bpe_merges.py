@@ -1,0 +1,70 @@
+"""BPE merge induction (operators/bpe.py): textbook greedy semantics —
+including the consecutive-repeat framing edge a shared-delimiter encoding
+gets wrong — and encode-by-replay."""
+
+from web2llmstxt_spark.operators import bpe
+
+
+def _words(spark, pairs):
+    return spark.createDataFrame(pairs, "word string, cnt long")
+
+
+def test_textbook_corpus(spark):
+    # Sennrich-style toy: low x3, lower, lowest, new, newer
+    words = _words(
+        spark,
+        [("low", 3), ("lower", 1), ("lowest", 1), ("new", 1), ("newer", 1)],
+    )
+    got = [
+        (r["left_tok"], r["right_tok"], r["pair_count"])
+        for r in bpe.learn_merges(spark, words, 3).orderBy("step").collect()
+    ]
+    assert got == [("l", "o", 5), ("lo", "w", 5), ("e", "r", 2)]
+
+
+def test_consecutive_repeats_count_and_merge_leftmost(spark):
+    # 'aaaa': pair (a,a) occurs 3x; merging must produce [aa, aa], not [aa, a, a]
+    words = _words(spark, [("aaaa", 1)])
+    merges = bpe.learn_merges(spark, words, 2).orderBy("step").collect()
+    assert (merges[0]["left_tok"], merges[0]["right_tok"]) == ("a", "a")
+    assert merges[0]["pair_count"] == 3
+    # second merge sees [aa, aa] -> pair (aa, aa) once
+    assert (merges[1]["left_tok"], merges[1]["right_tok"]) == ("aa", "aa")
+    assert merges[1]["pair_count"] == 1
+
+
+def test_odd_repeat_leftmost_first(spark):
+    # 'aaa' -> [aa, a] (leftmost pair merges; the straggler stays single)
+    words = _words(spark, [("aaa", 1)])
+    merges = bpe.learn_merges(spark, words, 1).collect()
+    toks = bpe.apply_merges(words, merges).collect()[0]["tokens"]
+    assert toks == ["aa", "a"]
+
+
+def test_tiebreak_lexicographic(spark):
+    # (a,b) and (c,d) both count 1: (a,b) wins the tie
+    words = _words(spark, [("ab", 1), ("cd", 1)])
+    m = bpe.learn_merges(spark, words, 1).collect()[0]
+    assert (m["left_tok"], m["right_tok"]) == ("a", "b")
+
+
+def test_apply_merges_replays_training(spark):
+    words = _words(
+        spark,
+        [("low", 3), ("lower", 1), ("lowest", 1), ("new", 1), ("newer", 1)],
+    )
+    merges = bpe.learn_merges(spark, words, 3).orderBy("step").collect()
+    toks = {
+        r["word"]: r["tokens"]
+        for r in bpe.apply_merges(words, merges).collect()
+    }
+    assert toks["low"] == ["low"]
+    assert toks["lower"] == ["low", "er"]
+    assert toks["newer"] == ["n", "e", "w", "er"]
+
+
+def test_early_stop_when_pairs_exhaust(spark):
+    # 'aa' -> merge 1 fuses it into one symbol; no pair remains -> stop early
+    words = _words(spark, [("aa", 1)])
+    out = bpe.learn_merges(spark, words, 5).collect()
+    assert [(r["left_tok"], r["right_tok"]) for r in out] == [("a", "a")]

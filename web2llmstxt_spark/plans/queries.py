@@ -2552,6 +2552,68 @@ def sql_recrawl_schedule():
     """
 
 
+BPE_MERGES_N = 8
+
+
+def _bpe_words_df(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_bpe_merges(spark, sf_dir):
+    """BPE merge induction (operators/bpe.py): learn the corpus's top-8
+    merge table from the word-frequency vocabulary. Each step is one JVM
+    pair-count aggregation over the cached vocab plus a 1-row driver argmax;
+    the oracle unrolls the SAME 8 iterations as chained DuckDB CTEs, so the
+    whole greedy loop — pair framing, leftmost-non-overlapping merge rule,
+    lexicographic tie-break — is hash-checked end to end."""
+    from ..operators import bpe
+
+    return bpe.learn_merges(spark, _bpe_words_df(spark, sf_dir), BPE_MERGES_N)
+
+
+def sql_bpe_merges():
+    def iteration(w_prev: str, i: int) -> str:
+        return f"""
+        p{i} AS (
+            SELECT u.pr[1] AS l, u.pr[2] AS r, CAST(SUM(cnt) AS BIGINT) AS pc
+            FROM (SELECT string_split(trim(repr, chr(31)), chr(31)||chr(31)) AS t,
+                         cnt
+                  FROM {w_prev}),
+                 LATERAL unnest(list_zip(t, t[2:])) AS u(pr)
+            WHERE u.pr[2] IS NOT NULL
+            GROUP BY 1, 2),
+        b{i} AS (SELECT l, r, pc FROM p{i} ORDER BY pc DESC, l, r LIMIT 1),
+        w{i} AS (
+            SELECT replace(repr, chr(31)||l||chr(31)||chr(31)||r||chr(31),
+                           chr(31)||l||r||chr(31)) AS repr, cnt
+            FROM {w_prev} CROSS JOIN b{i})"""
+
+    sql = """
+        WITH words AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE regexp_matches(word, '^[a-z]+$') AND len(word) >= 2
+            GROUP BY 1),
+        w0 AS (SELECT regexp_replace(word, '(.)', chr(31)||'\\1'||chr(31), 'g')
+                   AS repr, cnt
+               FROM words)"""
+    for i in range(1, BPE_MERGES_N + 1):
+        sql += "," + iteration(f"w{i - 1}", i)
+    sql += "\n" + "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, l AS left_tok, r AS right_tok,"
+        f" l || r AS merged, pc AS pair_count FROM b{i}"
+        for i in range(1, BPE_MERGES_N + 1)
+    )
+    return sql
+
+
 REGISTRY: dict[str, tuple] = {
     # name: (spark_builder, oracle_sql_builder or None)
     "frontier_topk": (q_frontier_topk, sql_frontier_topk),
@@ -2619,4 +2681,5 @@ REGISTRY: dict[str, tuple] = {
     "url_canon_cluster": (q_url_canon_cluster, sql_url_canon_cluster),
     "warc_parse": (q_warc_parse, sql_warc_parse),
     "recrawl_schedule": (q_recrawl_schedule, sql_recrawl_schedule),
+    "bpe_merges": (q_bpe_merges, sql_bpe_merges),
 }
