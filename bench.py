@@ -90,6 +90,7 @@ HEADLINE = [
     "warc_parse",
     "recrawl_schedule",
     "bpe_merges",
+    "warc_cdx",
 ]
 
 

@@ -2552,6 +2552,73 @@ def sql_recrawl_schedule():
     """
 
 
+def _multihost_url_col():
+    """Synth URL across 20 hosts with 3-label names (SURT reversal must do
+    real work): https://{seg}.ex{doc_id%4}.example/{word}-{doc_id}[?page=2]"""
+    seg = F.when(F.col("lang") == "en", "docs")
+    for lang, s in list(_LANG_SEG.items())[1:]:
+        seg = seg.when(F.col("lang") == lang, s)
+    seg = seg.otherwise(F.lit("misc"))
+    first_word = F.get(F.split(F.col("text"), " "), 0)
+    base = F.concat(
+        F.lit("https://"), seg, F.lit(".ex"),
+        (F.col("doc_id") % 4).cast("string"), F.lit(".example/"),
+        first_word, F.lit("-"), F.col("doc_id").cast("string"),
+    )
+    return F.when(F.col("doc_id") % 7 == 0, F.concat(base, F.lit("?page=2"))).otherwise(base)
+
+
+_MULTIHOST_URL_SQL = (
+    "(CASE WHEN doc_id % 7 = 0 THEN {b} || '?page=2' ELSE {b} END)"
+).format(
+    b=(
+        "('https://' || (CASE lang WHEN 'en' THEN 'docs' WHEN 'fr' THEN 'blog' "
+        "WHEN 'de' THEN 'login' WHEN 'es' THEN 'download' ELSE 'misc' END) "
+        "|| '.ex' || CAST(doc_id % 4 AS VARCHAR) || '.example/' "
+        "|| string_split(text, ' ')[1] || '-' || doc_id)"
+    )
+)
+
+
+def q_warc_cdx(spark, sf_dir):
+    """CDX index build (sources/warc.cdx_index): serialize documents into
+    gzip-member archives, then emit one SURT-keyed index row per response
+    record — the Common Crawl cdx-*.gz layout that makes a 100 TB archive
+    set range-readable per record. The oracle hash-checks (surt_key, url,
+    status, body_md5); the byte offsets (compression-dependent, not
+    SQL-expressible) are verified by tests/test_warc_cdx.py actually
+    range-reading records back out of the archive at the reported
+    (offset, rec_length)."""
+    from ..sources import warc
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pages = docs.select(
+        "doc_id",
+        _multihost_url_col().alias("url"),
+        F.when(d % 19 == 0, 404).when(d % 13 == 0, 301).otherwise(200)
+        .alias("status"),
+        F.lit("text/html").alias("content_type"),
+        F.col("text").alias("body"),
+    )
+    blobs = warc.synth_warc_blobs(pages, n_shards=8, compress=True)
+    return warc.cdx_index(blobs).select("surt_key", "url", "status", "body_md5")
+
+
+def sql_warc_cdx():
+    return f"""
+        WITH pages AS (
+            SELECT {_MULTIHOST_URL_SQL} AS url,
+                   CAST(CASE WHEN doc_id % 19 = 0 THEN 404
+                             WHEN doc_id % 13 = 0 THEN 301
+                             ELSE 200 END AS INTEGER) AS status,
+                   md5(text) AS body_md5
+            FROM documents)
+        SELECT {native.surt_key_sql('url')} AS surt_key, url, status, body_md5
+        FROM pages
+    """
+
+
 BPE_MERGES_N = 8
 
 
@@ -2682,4 +2749,5 @@ REGISTRY: dict[str, tuple] = {
     "warc_parse": (q_warc_parse, sql_warc_parse),
     "recrawl_schedule": (q_recrawl_schedule, sql_recrawl_schedule),
     "bpe_merges": (q_bpe_merges, sql_bpe_merges),
+    "warc_cdx": (q_warc_cdx, sql_warc_cdx),
 }

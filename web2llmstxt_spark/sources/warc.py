@@ -279,3 +279,90 @@ def synth_warc_blobs(
         "shard", (F.col("doc_id") % n_shards).cast("int")
     )
     return with_shard.groupBy("shard").applyInPandas(build, WARC_BLOB_SCHEMA)
+
+
+# ---------------------------------------------------------------- CDX index
+
+CDX_SCHEMA = StructType(
+    [
+        StructField("surt_key", StringType()),
+        StructField("url", StringType()),
+        StructField("status", IntegerType()),
+        StructField("shard", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("rec_length", LongType()),
+        StructField("body_md5", StringType()),
+    ]
+)
+
+
+def _split_members_with_offsets(blob: bytes) -> Iterator[tuple]:
+    """Like _split_members but yields (offset, compressed_length, record) —
+    the (offset, length) pair is what a CDX consumer range-requests to pull
+    ONE record out of a remote .warc.gz without reading the archive."""
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        rec = d.decompress(blob[pos:]) + d.flush()
+        consumed = (n - pos) - len(d.unused_data)
+        yield pos, consumed, rec
+        pos += consumed
+
+
+def parse_warc_cdx(blob: bytes) -> Iterator[dict]:
+    """Parse a gzip-member archive into CDX entries: per response record,
+    (url, status, offset, rec_length, body_md5). Offsets address the
+    COMPRESSED member, so they survive the archive being served as-is."""
+    for offset, length, rec in _split_members_with_offsets(blob):
+        for r in _record_fields(rec):
+            r["offset"] = offset
+            r["rec_length"] = length
+            yield r
+
+
+def _record_fields(rec: bytes) -> Iterator[dict]:
+    head_end = rec.find(CRLF + CRLF)
+    if head_end < 0:
+        return
+    wh = _parse_headers(rec[:head_end])
+    if wh.get(b"warc-type") != b"response":
+        return
+    clen = int(wh[b"content-length"])
+    http = rec[head_end + 4 : head_end + 4 + clen]
+    status = int(http[: http.find(CRLF)].split(b" ")[1])
+    payload = http[http.find(CRLF + CRLF) + 4 :]
+    yield {
+        "url": wh[b"warc-target-uri"].decode("utf-8"),
+        "status": status,
+        "body_md5": hashlib.md5(payload).hexdigest(),
+    }
+
+
+def cdx_index(blobs: DataFrame, blob_col: str = "warc") -> DataFrame:
+    """Distributed CDX index build over gzip-member archives: one mapInPandas
+    pass emits (surt_key, url, status, shard, offset, rec_length, body_md5)
+    per response record. The archive bytes never leave the scanning task;
+    only index rows (what Common Crawl publishes as cdx-*.gz, ~0.3% of the
+    archive bytes) move. Sorting/range-partitioning the result on surt_key
+    is the consumer's choice — an orderBy here would force a global sort the
+    lookup layout may not need."""
+    from ..functions import native
+
+    def run(batches):
+        import pandas as pd
+
+        cols = ["url", "status", "shard", "offset", "rec_length", "body_md5"]
+        for pdf in batches:
+            rows = []
+            for shard, blob in zip(pdf["shard"], pdf[blob_col]):
+                for r in parse_warc_cdx(bytes(blob)):
+                    r["shard"] = int(shard)
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=cols)
+
+    parsed_schema = StructType([f for f in CDX_SCHEMA.fields if f.name != "surt_key"])
+    parsed = blobs.mapInPandas(run, parsed_schema)
+    return parsed.select(
+        native.surt_key_native(F.col("url")).alias("surt_key"), *parsed.columns
+    )
