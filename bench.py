@@ -91,6 +91,7 @@ HEADLINE = [
     "recrawl_schedule",
     "bpe_merges",
     "warc_cdx",
+    "crawl_traps",
 ]
 
 

@@ -1,0 +1,54 @@
+"""Crawl-trap detection (operators/traps.py): dup-ratio and depth signals,
+the min-evidence gate, and the denylist projection."""
+
+from web2llmstxt_spark.operators import traps
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, body_md5 string")
+
+
+def test_duplication_trap_flagged(spark):
+    rows = [(f"https://trap.example/p{i}?sid={i}", f"h{i % 2}") for i in range(30)]
+    rows += [(f"https://ok.example/p{i}", f"h{i}") for i in range(30)]
+    out = {r["host"]: r for r in traps.detect_traps(_pages(spark, rows)).collect()}
+    assert out["trap.example"]["is_trap"]
+    assert out["trap.example"]["dup_ratio_x1000"] == 15000
+    assert not out["ok.example"]["is_trap"]
+    assert out["ok.example"]["dup_ratio_x1000"] == 1000
+
+
+def test_depth_trap_flagged(spark):
+    rows = [
+        (f"https://cal.example/{'/'.join(['d'] * (i % 12 + 1))}/p{i}", f"h{i}")
+        for i in range(30)
+    ]
+    out = traps.detect_traps(_pages(spark, rows)).collect()[0]
+    assert out["max_depth"] == 13
+    assert out["is_trap"]  # distinct content, but depth blowup
+
+
+def test_small_hosts_never_flagged(spark):
+    # 5 URLs over 1 body: ratio 5000 but below min_urls evidence gate
+    rows = [(f"https://tiny.example/p{i}", "same") for i in range(5)]
+    out = traps.detect_traps(_pages(spark, rows), min_urls=20).collect()[0]
+    assert out["dup_ratio_x1000"] == 5000
+    assert not out["is_trap"]
+
+
+def test_depth_counts_segments_not_slashes(spark):
+    rows = [
+        ("https://h.example", "a"),
+        ("https://h.example/", "b"),
+        ("https://h.example//a///b/", "c"),
+        ("https://h.example/x?q=/not/path", "d"),
+    ]
+    out = traps.detect_traps(_pages(spark, rows), min_urls=99).collect()[0]
+    assert out["max_depth"] == 2  # //a///b/ -> [a, b]; query slashes ignored
+
+
+def test_denylist_projection(spark):
+    rows = [(f"https://trap.example/p{i}", "same") for i in range(25)]
+    rows += [(f"https://ok.example/p{i}", f"h{i}") for i in range(25)]
+    t = traps.detect_traps(_pages(spark, rows))
+    assert [r["host"] for r in traps.trap_denylist(t).collect()] == ["trap.example"]

@@ -1,0 +1,92 @@
+"""Crawl-trap detection — protecting a 10^10-URL frontier from hosts that
+manufacture infinite URL spaces.
+
+The reference's BFS (crawler/web_crawler.py) is budget-bounded per site, so
+a trap can only waste one site's budget; a continuous web-scale crawl has no
+such backstop — session-id links, calendar pages, and faceted-search
+explosions generate unbounded distinct URLs over near-constant content, and
+the frontier happily eats them. The standard countermeasures (Heritrix's
+"too many hops"/path-repetition rules, IRLbot's spam-host budgeting) reduce
+to per-host evidence aggregation, which is exactly one Spark shuffle.
+
+Two signals, computed in ONE groupBy(host) pass over (url, content-hash)
+projections — page bytes never enter:
+
+- duplication ratio: distinct URLs per distinct content hash. A host
+  serving 10,000 URLs over 3 bodies is a trap regardless of URL shape.
+  Kept as an x1000 INTEGER (floor) so the score is bit-stable cross-engine.
+- path-depth blowup: max path-segment depth seen on the host. Calendar/
+  recursion traps grow depth linearly; honest sites plateau shallow.
+
+Output feeds the frontier as a broadcast denylist (hosts are few; the
+denylist joins the same way robots rules do, `frontier.py` host caps) —
+detection is offline/batch, enforcement is a broadcast hash join, so the
+hot path pays nothing for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def host_of(url_col) -> F.Column:
+    """Host extraction (JVM regex; mirrors the SQL twin in the oracle)."""
+    return F.regexp_extract(url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)
+
+
+def path_depth(url_col) -> F.Column:
+    """Number of non-empty path segments ('' and root count 0)."""
+    path = F.regexp_extract(url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1)
+    trimmed = F.regexp_replace(path, "^/+|/+$", "")
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, "/+"))
+    )
+
+
+def detect_traps(
+    pages: DataFrame,
+    url_col: str = "url",
+    hash_col: str = "body_md5",
+    min_urls: int = 20,
+    dup_ratio_x1000: int = 5000,
+    max_depth: int = 8,
+) -> DataFrame:
+    """Per-host trap evidence: (host, n_urls, n_content, dup_ratio_x1000,
+    max_depth, is_trap). ``is_trap`` requires at least ``min_urls`` distinct
+    URLs (small hosts can't produce evidence) AND either signal firing.
+
+    Scale: one hash-partitioned aggregate over (host, url, hash, depth) —
+    count_distinct is partial-aggregated map-side; no second shuffle."""
+    u = F.col(url_col)
+    per_host = (
+        pages.select(
+            host_of(u).alias("host"),
+            u.alias("__url"),
+            F.col(hash_col).alias("__h"),
+            path_depth(u).alias("__d"),
+        )
+        .groupBy("host")
+        .agg(
+            F.countDistinct("__url").alias("n_urls"),
+            F.countDistinct("__h").alias("n_content"),
+            F.max("__d").alias("max_depth"),
+        )
+    )
+    ratio = F.floor(F.col("n_urls") * 1000 / F.col("n_content"))
+    return per_host.select(
+        "host",
+        "n_urls",
+        "n_content",
+        ratio.alias("dup_ratio_x1000"),
+        "max_depth",
+        (
+            (F.col("n_urls") >= min_urls)
+            & ((ratio >= dup_ratio_x1000) | (F.col("max_depth") >= max_depth))
+        ).alias("is_trap"),
+    )
+
+
+def trap_denylist(traps: DataFrame) -> DataFrame:
+    """The broadcast-ready (host) denylist for the frontier."""
+    return traps.filter("is_trap").select("host")

@@ -2619,6 +2619,70 @@ def sql_warc_cdx():
     """
 
 
+def q_crawl_traps(spark, sf_dir):
+    """Crawl-trap detection (operators/traps.py): the misc.* hosts (zh docs)
+    serve ~18+ URLs over only 3 distinct bodies (session-id-style dup trap)
+    and the login.* hosts (de docs) grow /deep path chains to depth 12
+    (calendar-style recursion trap); all other hosts are honest. One
+    groupBy(host) pass flags exactly those two host families."""
+    from ..operators import traps
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    deep = F.when(
+        F.col("lang") == "de", F.repeat(F.lit("/deep"), (d % 12).cast("int"))
+    ).otherwise(F.lit(""))
+    body_key = F.when(
+        ~F.col("lang").isin(*_LANG_SEG), (d % 3).cast("string")
+    ).otherwise(F.col("text"))
+    pages = docs.select(
+        F.concat(_multihost_url_col(), deep).alias("url"),
+        F.md5(body_key).alias("body_md5"),
+    )
+    return traps.detect_traps(
+        pages, min_urls=10, dup_ratio_x1000=3000, max_depth=8
+    )
+
+
+def sql_crawl_traps():
+    url = (
+        f"({_MULTIHOST_URL_SQL} || CASE WHEN lang = 'de' "
+        "THEN repeat('/deep', CAST(doc_id % 12 AS INTEGER)) ELSE '' END)"
+    )
+    body_key = (
+        "(CASE WHEN lang NOT IN ('en','fr','de','es') "
+        "THEN CAST(doc_id % 3 AS VARCHAR) ELSE text END)"
+    )
+    return f"""
+        WITH pages AS (
+            SELECT {url} AS url, md5({body_key}) AS body_md5 FROM documents),
+        proj AS (
+            SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)
+                       AS host,
+                   url, body_md5,
+                   CASE WHEN trim(regexp_extract(url,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1), '/')
+                            = '' THEN 0
+                        ELSE len(string_split_regex(trim(regexp_extract(url,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1), '/'),
+                            '/+'))
+                   END AS d
+            FROM pages),
+        per_host AS (
+            SELECT host,
+                   count(DISTINCT url) AS n_urls,
+                   count(DISTINCT body_md5) AS n_content,
+                   CAST(max(d) AS INTEGER) AS max_depth
+            FROM proj GROUP BY host)
+        SELECT host, n_urls, n_content,
+               CAST((n_urls * 1000) // n_content AS BIGINT) AS dup_ratio_x1000,
+               max_depth,
+               (n_urls >= 10 AND ((n_urls * 1000) // n_content >= 3000
+                                  OR max_depth >= 8)) AS is_trap
+        FROM per_host
+    """
+
+
 BPE_MERGES_N = 8
 
 
@@ -2750,4 +2814,5 @@ REGISTRY: dict[str, tuple] = {
     "recrawl_schedule": (q_recrawl_schedule, sql_recrawl_schedule),
     "bpe_merges": (q_bpe_merges, sql_bpe_merges),
     "warc_cdx": (q_warc_cdx, sql_warc_cdx),
+    "crawl_traps": (q_crawl_traps, sql_crawl_traps),
 }
