@@ -92,6 +92,7 @@ HEADLINE = [
     "bpe_merges",
     "warc_cdx",
     "crawl_traps",
+    "anchor_texts",
 ]
 
 

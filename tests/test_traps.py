@@ -52,3 +52,15 @@ def test_denylist_projection(spark):
     rows += [(f"https://ok.example/p{i}", f"h{i}") for i in range(25)]
     t = traps.detect_traps(_pages(spark, rows))
     assert [r["host"] for r in traps.trap_denylist(t).collect()] == ["trap.example"]
+
+
+def test_anchor_texts_topk_and_ties(spark):
+    from web2llmstxt_spark.operators import graph
+
+    rows = [(s, 1, a) for s, a in enumerate(["home"] * 3 + ["start"] * 3 + ["misc"] * 2 + ["zzz"])]
+    edges = spark.createDataFrame(rows, "src long, dst long, anchor string")
+    got = graph.anchor_texts(edges, top_k=2).orderBy("rnk").collect()
+    # tie between home(3) and start(3): 'home' < 'start' wins rank 1
+    assert [(r["anchor"], r["n_links"], r["rnk"]) for r in got] == [
+        ("home", 3, 1), ("start", 3, 2),
+    ]

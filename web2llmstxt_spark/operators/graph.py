@@ -96,3 +96,32 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
             .localCheckpoint(eager=True)  # truncate per-iteration lineage (BSP state)
         )
     return ranks.select(F.col("id"), F.col("r").alias("rank"))
+
+
+def anchor_texts(edges_anchored: DataFrame, top_k: int = 3) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic link-graph relevance
+    signal (Brin & Page 1998 §2.2: anchor text is indexed AS IF it were on
+    the target page; every production search/crawl stack aggregates it).
+
+    Input: (src, dst, anchor) one row per hyperlink. Output: the ``top_k``
+    most frequent anchors per dst with counts and rank, ties broken by
+    anchor string so the cut is deterministic.
+
+    Scale shape: the raw edge list (10^11+ rows at web scale) is first
+    reduced by groupBy(dst, anchor) — a partial-aggregated count, so the
+    popular-homepage skew (10^7 in-links) collapses map-side to one row per
+    DISTINCT anchor string before anything wide runs. The top-k window then
+    partitions by dst over that already-small table. Anchor strings are
+    short; page bytes never appear."""
+    from pyspark.sql import Window
+
+    counts = edges_anchored.groupBy("dst", "anchor").agg(
+        F.count("*").alias("n_links")
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("n_links"), F.asc("anchor"))
+    return (
+        counts.select(
+            "dst", "anchor", "n_links", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= top_k)
+    )

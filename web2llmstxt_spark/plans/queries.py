@@ -2683,6 +2683,57 @@ def sql_crawl_traps():
     """
 
 
+ANCHOR_TOPK = 3
+
+
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text aggregation (graph.anchor_texts): over the deterministic
+    synthetic link graph, each link's anchor is a word drawn from the SOURCE
+    page's text (word index src%4) — so popular targets accumulate repeated
+    anchors from the shared vocabulary, exactly the shape real anchor
+    aggregation reduces. Top-3 anchors per target with counts."""
+    docs = load(spark, sf_dir, "documents")
+    edges = graph.synthetic_edges(docs)
+    anchored = (
+        edges.join(
+            docs.select(F.col("doc_id").alias("src"), "text"), "src"
+        )
+        .select(
+            "src",
+            "dst",
+            F.get(
+                F.split("text", " "), (F.col("src") % 4).cast("int")
+            ).alias("anchor"),
+        )
+    )
+    return graph.anchor_texts(anchored, top_k=ANCHOR_TOPK)
+
+
+def sql_anchor_texts():
+    return f"""
+        WITH n AS (SELECT count(*) AS c FROM documents),
+        edges AS (
+            SELECT doc_id AS src,
+                   (doc_id * {graph.EDGE_MULT} + j) % (SELECT c FROM n) AS dst
+            FROM documents, (VALUES (1),(2),(3)) t(j)
+            WHERE j <= 1 + (doc_id % {graph.EDGE_FANOUT})),
+        anchored AS (
+            SELECT e.src, e.dst,
+                   string_split(d.text, ' ')[1 + CAST(e.src % 4 AS INTEGER)]
+                       AS anchor
+            FROM edges e JOIN documents d ON d.doc_id = e.src),
+        counts AS (
+            SELECT dst, anchor, count(*) AS n_links
+            FROM anchored GROUP BY 1, 2),
+        ranked AS (
+            SELECT dst, anchor, n_links,
+                   CAST(row_number() OVER (PARTITION BY dst
+                       ORDER BY n_links DESC, anchor) AS INTEGER) AS rnk
+            FROM counts)
+        SELECT dst, anchor, n_links, rnk FROM ranked WHERE rnk <= {ANCHOR_TOPK}
+    """
+
+
 BPE_MERGES_N = 8
 
 
@@ -2815,4 +2866,5 @@ REGISTRY: dict[str, tuple] = {
     "bpe_merges": (q_bpe_merges, sql_bpe_merges),
     "warc_cdx": (q_warc_cdx, sql_warc_cdx),
     "crawl_traps": (q_crawl_traps, sql_crawl_traps),
+    "anchor_texts": (q_anchor_texts, sql_anchor_texts),
 }
