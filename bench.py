@@ -93,6 +93,7 @@ HEADLINE = [
     "warc_cdx",
     "crawl_traps",
     "anchor_texts",
+    "bpe_encode_stats",
 ]
 
 

@@ -2759,7 +2759,12 @@ def q_bpe_merges(spark, sf_dir):
     return bpe.learn_merges(spark, _bpe_words_df(spark, sf_dir), BPE_MERGES_N)
 
 
-def sql_bpe_merges():
+def _sql_bpe_cte_prefix(n: int) -> str:
+    """Shared CTE chain: vocab -> w0 (SEP-framed chars) -> n unrolled merge
+    iterations, each producing b{i} (the winning pair) and w{i} (the merged
+    vocab). Used by both bpe_merges (reads b1..bn) and bpe_encode_stats
+    (reads w{n})."""
+
     def iteration(w_prev: str, i: int) -> str:
         return f"""
         p{i} AS (
@@ -2786,14 +2791,50 @@ def sql_bpe_merges():
         w0 AS (SELECT regexp_replace(word, '(.)', chr(31)||'\\1'||chr(31), 'g')
                    AS repr, cnt
                FROM words)"""
-    for i in range(1, BPE_MERGES_N + 1):
+    for i in range(1, n + 1):
         sql += "," + iteration(f"w{i - 1}", i)
-    sql += "\n" + "\nUNION ALL\n".join(
+    return sql
+
+
+def sql_bpe_merges():
+    return _sql_bpe_cte_prefix(BPE_MERGES_N) + "\n" + "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS INTEGER) AS step, l AS left_tok, r AS right_tok,"
         f" l || r AS merged, pc AS pair_count FROM b{i}"
         for i in range(1, BPE_MERGES_N + 1)
     )
-    return sql
+
+
+def q_bpe_encode_stats(spark, sf_dir):
+    """Tokenizer fertility report: learn the top-8 merges, ENCODE the whole
+    vocabulary by replaying them (bpe.apply_merges — pure replace-chain
+    Column algebra), and report the tokens-per-word distribution
+    (n_words = distinct vocab entries, total_count = corpus occurrences).
+    Fertility is the go/no-go metric for a learned tokenizer on a new
+    corpus; the oracle replays the SAME unrolled iterations and reads the
+    final merged vocab, so training AND encoding are hash-checked."""
+    from ..operators import bpe
+
+    words = _bpe_words_df(spark, sf_dir)
+    merges = bpe.learn_merges(spark, words, BPE_MERGES_N).orderBy("step").collect()
+    encoded = bpe.apply_merges(words, merges)
+    return (
+        encoded.groupBy(F.size("tokens").alias("n_tokens"))
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("cnt").alias("total_count"),
+        )
+    )
+
+
+def sql_bpe_encode_stats():
+    return f"""{_sql_bpe_cte_prefix(BPE_MERGES_N)}
+        SELECT CAST(len(string_split(trim(repr, chr(31)), chr(31)||chr(31)))
+                   AS INTEGER) AS n_tokens,
+               count(*) AS n_words,
+               CAST(sum(cnt) AS BIGINT) AS total_count
+        FROM w{BPE_MERGES_N}
+        GROUP BY 1
+    """
 
 
 REGISTRY: dict[str, tuple] = {
@@ -2867,4 +2908,5 @@ REGISTRY: dict[str, tuple] = {
     "warc_cdx": (q_warc_cdx, sql_warc_cdx),
     "crawl_traps": (q_crawl_traps, sql_crawl_traps),
     "anchor_texts": (q_anchor_texts, sql_anchor_texts),
+    "bpe_encode_stats": (q_bpe_encode_stats, sql_bpe_encode_stats),
 }
