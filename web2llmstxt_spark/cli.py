@@ -52,6 +52,23 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--cores", type=int, default=None,
                    help="local[N] cores (default $SPARK_GRAFT_CPUS or 32)")
 
+    w = sub.add_parser(
+        "from-warc",
+        help="distill WARC archives into llms.txt outputs (no crawl: the "
+             "archive is the fetched-page store)",
+    )
+    w.add_argument("--warc", required=True,
+                   help="path/glob of .warc / .warc.gz archives")
+    w.add_argument("--base-url", required=True,
+                   help="site base URL for the header/metadata")
+    w.add_argument("--out", required=True, help="output directory")
+    w.add_argument("--format", dest="export_format",
+                   choices=["text", "json", "yaml"], default="text")
+    w.add_argument("--full-text", action="store_true")
+    w.add_argument("--style", choices=["v2", "v1"], default="v2")
+    w.add_argument("--desc-cache-dir", default=None)
+    w.add_argument("--cores", type=int, default=None)
+
     cu = sub.add_parser(
         "curate",
         help="run the training-data curation pipeline over a documents "
@@ -154,6 +171,31 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "curate":
         try:
             print(json.dumps(run_curate(spark, args)))
+            return 0
+        finally:
+            spark.stop()
+    if args.cmd == "from-warc":
+        try:
+            from .plans.pipeline import generate_llmstxt_from_warc
+
+            res = generate_llmstxt_from_warc(
+                spark,
+                args.warc,
+                args.base_url,
+                args.out,
+                export_format=args.export_format,
+                include_full_text=args.full_text,
+                output_style=args.style,
+                desc_cache_dir=args.desc_cache_dir,
+            )
+            print(json.dumps({
+                "paths": res["paths"],
+                "pages": len(res["pages"]),
+                "entries": len(res["entries"]),
+                "strategy": res["metadata"]["crawl_strategy_used"],
+                "processing_time_seconds":
+                    res["metadata"]["processing_time_seconds"],
+            }))
             return 0
         finally:
             spark.stop()

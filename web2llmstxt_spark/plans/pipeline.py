@@ -116,6 +116,51 @@ def generate_llmstxt(
             use_bloom=True, seen_filter=seen_filter,
         )
         pages_df, _seen = crawler.crawl(seeds or [(0, base_url)])
+    return distill_to_output(
+        pages_df,
+        base_url,
+        output_dir,
+        export_format=export_format,
+        include_full_text=include_full_text,
+        full_text_only=full_text_only,
+        max_full_text_pages=max_full_text_pages,
+        desc_cache_dir=desc_cache_dir,
+        describe_fn=describe_fn,
+        output_style=output_style,
+        collect_entries=collect_entries,
+        crawl_strategy_label=crawl_strategy,
+        generated_at=generated_at,
+        start_time=start,
+    )
+
+
+def distill_to_output(
+    pages_df: DataFrame,
+    base_url: str,
+    output_dir: str,
+    *,
+    export_format: str = "text",
+    include_full_text: bool = False,
+    full_text_only: bool = False,
+    max_full_text_pages: int | None = None,
+    desc_cache_dir: str | None = None,
+    describe_fn=None,
+    output_style: str = "v2",
+    collect_entries: bool = True,
+    crawl_strategy_label: str = "systematic",
+    generated_at: str | None = None,
+    start_time: float | None = None,
+) -> dict:
+    """The distill half of EP2, crawl-free: pages (url, title, content,
+    word_count, rank, score, depth, discovery_phase) -> descriptions ->
+    categories -> llms.txt / llms-full.txt / json / yaml sinks + 15-key
+    metadata. ``generate_llmstxt`` calls this after its crawl; archive
+    consumers (``generate_llmstxt_from_warc``) call it directly — fetch and
+    distill as separate jobs, which is how a 100 TB WARC collection is
+    processed (the crawl wrote archives months ago; distillation is a batch
+    job over them)."""
+    crawl_strategy = crawl_strategy_label
+    start = start_time if start_time is not None else time.time()
     pages_df = pages_df.persist(CACHE_LEVEL)
     n_pages = pages_df.count()
 
@@ -125,7 +170,7 @@ def generate_llmstxt(
         # stored description, only misses compute; write-through after.
         from ..state.desc_cache import DescriptionCache, describe_with_cache
 
-        cache = DescriptionCache(spark, desc_cache_dir)
+        cache = DescriptionCache(pages_df.sparkSession, desc_cache_dir)
         entries_df, new_cache = describe_with_cache(
             pages_df, cache.load(), describe_fn=describe_fn
         )
@@ -253,3 +298,59 @@ def generate_llmstxt(
         # (None = cache disabled); a warm re-run reports 0.
         "desc_cache_new": desc_cache_new,
     }
+
+
+def generate_llmstxt_from_warc(
+    spark: SparkSession,
+    warc_path: str,
+    base_url: str,
+    output_dir: str,
+    *,
+    statuses: tuple = (200,),
+    content_type_prefix: str = "text/",
+    **distill_kw,
+) -> dict:
+    """Distill WARC archives into llms.txt WITHOUT a crawl — the archive IS
+    the fetched-page store (fetch ran earlier, possibly elsewhere; Common
+    Crawl consumers start exactly here).
+
+    Record order (archive path, member offset) stands in for crawl rank —
+    ranked with the same content-free two-pass global rank the frontier
+    finalize uses (slim projection, join back on the unique (src, offset)
+    record key; page text never range-shuffles). Titles come from the
+    reference P9 kernel with a null meta-title (markdown H1 -> URL segment
+    -> 'Untitled Page'), word counts from the pinned native counter, so a
+    WARC-distilled page renders byte-identically to the same page arriving
+    via the crawl path."""
+    from ..functions import udfs
+    from ..operators import ranking
+    from ..sources import warc
+
+    scanned = warc.read_warc_text(spark, warc_path)
+    kept = scanned.filter(
+        F.col("status").isin(*[int(s) for s in statuses])
+        & F.col("content_type").startswith(content_type_prefix)
+    )
+    slim = kept.select("src", "offset")
+    ranked = ranking.global_rank(
+        slim, [F.asc("src"), F.asc("offset")], "rank"
+    ).select("src", "offset", "rank")
+    pages_df = (
+        kept.join(ranked, ["src", "offset"])
+        .select(
+            "url",
+            udfs.extract_title_udf(
+                F.lit(None).cast("string"), F.col("content"), F.col("url")
+            ).alias("title"),
+            "content",
+            udfs.native_word_count(F.col("content")).alias("word_count"),
+            "rank",
+            F.lit(0.0).alias("score"),
+            F.lit(0).alias("depth"),
+            F.lit("warc").alias("discovery_phase"),
+        )
+    )
+    return distill_to_output(
+        pages_df, base_url, output_dir,
+        crawl_strategy_label="warc", **distill_kw,
+    )

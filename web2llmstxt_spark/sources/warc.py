@@ -366,3 +366,68 @@ def cdx_index(blobs: DataFrame, blob_col: str = "warc") -> DataFrame:
     return parsed.select(
         native.surt_key_native(F.col("url")).alias("surt_key"), *parsed.columns
     )
+
+
+# --------------------------------------------------------- full-text scan
+
+WARC_TEXT_SCHEMA = StructType(
+    [
+        StructField("src", StringType()),      # archive path/shard label
+        StructField("offset", LongType()),     # record order within archive
+        StructField("url", StringType()),
+        StructField("status", IntegerType()),
+        StructField("content_type", StringType()),
+        StructField("content", StringType()),  # payload decoded utf-8
+    ]
+)
+
+
+def warc_scan_text(
+    blobs: DataFrame, blob_col: str = "warc", src_col: str = "shard"
+) -> DataFrame:
+    """Full-text WARC scan for distillation: one row per response record
+    WITH the decoded payload (utf-8, errors replaced). (src, offset) gives
+    a deterministic global record order — the crawl-order stand-in an
+    archive consumer ranks by. Payloads stay inside the scanning task until
+    the caller's plan decides what to shuffle."""
+
+    def run(batches):
+        import pandas as pd
+
+        cols = [f.name for f in WARC_TEXT_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for src, blob in zip(pdf[src_col], pdf[blob_col]):
+                blob = bytes(blob)
+                compressed = blob[:2] == b"\x1f\x8b"
+                if compressed:
+                    members = _split_members_with_offsets(blob)
+                else:
+                    members = (
+                        (i, 0, rec) for i, rec in enumerate(_split_plain(blob))
+                    )
+                for offset, _length, rec in members:
+                    for r in parse_warc_full(rec, compressed=False):
+                        rows.append(
+                            {
+                                "src": str(src),
+                                "offset": int(offset),
+                                "url": r["url"],
+                                "status": r["status"],
+                                "content_type": r["content_type"],
+                                "content": r["payload"].decode(
+                                    "utf-8", errors="replace"
+                                ),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return blobs.mapInPandas(run, WARC_TEXT_SCHEMA)
+
+
+def read_warc_text(spark, path: str) -> DataFrame:
+    """binaryFile listing -> full-text scan, src = file path."""
+    files = spark.read.format("binaryFile").load(path)
+    return warc_scan_text(
+        files.select(F.col("path").alias("shard"), F.col("content").alias("warc"))
+    )
