@@ -327,3 +327,22 @@ def test_superstep_url_hint_taken_and_invariant(spark):
     )
     assert hinted_pages == plain_pages
     assert hinted_seen == {r.url for r in seen2_df.collect()}
+
+
+def test_trap_denylist_parity(spark):
+    # deny one of three hosts: engine and oracle drop the SAME candidates
+    # (depth>=1 — depth-0 seeds are fetched regardless, like the reference's
+    # main-page fetch), and the denied host contributes no crawled page
+    # beyond its seed
+    corpus = generate_corpus(seed=31, n_hosts=3, pages_per_host=20)
+    denied = sorted({u.split("/")[2] for _sid, u, _p in corpus.seeds})[1]
+    cfg = CrawlConfig(max_pages=15, deny_hosts=frozenset({denied}))
+    oracle_res, engine_pages, engine_seen = run_both(spark, corpus, cfg)
+    assert_parity(oracle_res, engine_pages, engine_seen)
+    deep_denied = [
+        p for p in engine_pages if p["depth"] >= 1 and denied in p["url"]
+    ]
+    assert deep_denied == []
+    # and the denylist actually changed the crawl vs no-denylist
+    base_res = crawl(corpus, CrawlConfig(max_pages=15))
+    assert {p["url"] for p in base_res.pages} != {p["url"] for p in engine_pages}

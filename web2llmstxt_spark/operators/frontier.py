@@ -796,6 +796,19 @@ class FrontierCrawler:
                     )
                 else:
                     cand = cand.filter(~_robots_match_udf(self.rules_by_host)(F.col("url")))
+            if cfg.deny_hosts:
+                # trap-host denylist (operators/traps): enforcement is a
+                # broadcast anti-join, same cost shape as the robots chain —
+                # the detector's output plugs in here without touching the
+                # hot path when the list is empty
+                deny_df = spark.createDataFrame(
+                    [(h,) for h in sorted(cfg.deny_hosts)], "host string"
+                )
+                cand = (
+                    self._with_host(cand)
+                    .join(F.broadcast(deny_df), "host", "left_anti")
+                    .drop("host")
+                )
             if cfg.host_caps:
                 caps_df = spark.createDataFrame(
                     list(cfg.host_caps.items()), "host string, cap int"

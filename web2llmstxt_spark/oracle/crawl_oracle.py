@@ -36,6 +36,10 @@ class CrawlConfig:
     safety_limit: int | None = None
     enforce_robots: bool = False
     host_caps: dict[str, int] | None = None  # host -> max urls per superstep
+    #: trap-host denylist (operators/traps.trap_denylist output) — north-rule
+    #: extension, not reference behavior; candidates on these hosts are
+    #: dropped before scoring order is taken
+    deny_hosts: frozenset | None = None
 
     @property
     def depth_limit(self) -> int:
@@ -141,6 +145,11 @@ def crawl(corpus: Corpus, cfg: CrawlConfig, seeds: list[tuple[int, str]] | None 
         scored = [(u, s) for (u, s) in scored if s > cfg.score_threshold]  # :218
         if cfg.enforce_robots:
             scored = [(u, s) for (u, s) in scored if not robots_disallowed(u, rules_by_host)]
+        if cfg.deny_hosts:
+            scored = [
+                (u, s) for (u, s) in scored
+                if urllib.parse.urlparse(u).netloc.lower() not in cfg.deny_hosts
+            ]
         # canonical deterministic order (quirk Q1)
         scored.sort(key=lambda x: (-x[1], x[0]))
         if cfg.host_caps:
