@@ -94,6 +94,7 @@ HEADLINE = [
     "crawl_traps",
     "anchor_texts",
     "bpe_encode_stats",
+    "warc_revisit",
 ]
 
 

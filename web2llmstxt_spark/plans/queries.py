@@ -2734,6 +2734,50 @@ def sql_anchor_texts():
     """
 
 
+def q_warc_revisit(spark, sf_dir):
+    """Revisit-aware archive write (warc.classify_revisits +
+    synth_warc_blobs_typed + warc_scan_typed): the recrawl's fresh fetches
+    are joined against the prior snapshot's digest index — every 17th URL is
+    new (absent from prior) and every 11th changed content, so exactly those
+    store as full response records while the unchanged majority store as
+    ~200-byte revisit pointers (WARC/1.1 identical-payload-digest profile).
+    The scan resolves BOTH record types back to (url, type, digest), so
+    writer and parser for the revisit format are hash-checked end to end;
+    the storage-savings accounting is asserted in tests/test_warc_revisit.py
+    (compression-dependent byte sizes aren't SQL-expressible)."""
+    from ..sources import warc
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    prior = docs.filter(d % 17 != 0).select(
+        synth_url_col().alias("url"),
+        F.md5(
+            F.when(d % 11 == 0, F.concat(F.col("text"), F.lit(" old")))
+            .otherwise(F.col("text"))
+        ).alias("body_md5"),
+    )
+    pages = docs.select(
+        "doc_id",
+        synth_url_col().alias("url"),
+        F.lit(200).alias("status"),
+        F.lit("text/html").alias("content_type"),
+        F.col("text").alias("body"),
+    )
+    typed = warc.classify_revisits(pages, prior)
+    blobs = warc.synth_warc_blobs_typed(typed, n_shards=8)
+    return warc.warc_scan_typed(blobs).select("url", "record_type", "body_md5")
+
+
+def sql_warc_revisit():
+    return f"""
+        SELECT {SYNTH_URL_SQL} AS url,
+               CASE WHEN doc_id % 17 != 0 AND doc_id % 11 != 0
+                    THEN 'revisit' ELSE 'response' END AS record_type,
+               md5(text) AS body_md5
+        FROM documents
+    """
+
+
 BPE_MERGES_N = 8
 
 
@@ -2909,4 +2953,5 @@ REGISTRY: dict[str, tuple] = {
     "crawl_traps": (q_crawl_traps, sql_crawl_traps),
     "anchor_texts": (q_anchor_texts, sql_anchor_texts),
     "bpe_encode_stats": (q_bpe_encode_stats, sql_bpe_encode_stats),
+    "warc_revisit": (q_warc_revisit, sql_warc_revisit),
 }

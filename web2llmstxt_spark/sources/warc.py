@@ -431,3 +431,158 @@ def read_warc_text(spark, path: str) -> DataFrame:
     return warc_scan_text(
         files.select(F.col("path").alias("shard"), F.col("content").alias("warc"))
     )
+
+
+# ------------------------------------------------------------ revisit dedup
+
+#: WARC/1.1 §6.7.2 revisit profile: the recrawl fetched content whose digest
+#: matches a prior capture, so the archive stores a small pointer record
+#: instead of the payload — the storage dedup every continuous web archive
+#: (Heritrix + IA's petabox, Common Crawl) applies between snapshots.
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+
+TYPED_SCAN_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("record_type", StringType()),  # response | revisit
+        StructField("body_md5", StringType()),
+        StructField("stored_bytes", LongType()),   # compressed member size
+    ]
+)
+
+
+def build_revisit_record(
+    url: str,
+    payload_md5: str,
+    status: int = 200,
+    content_type: str = "text/html",
+    date: str = SYNTH_DATE,
+) -> bytes:
+    """A revisit record: WARC headers carrying the payload digest + the HTTP
+    response HEADERS ONLY as the block (per spec the block is the response
+    message sans payload). ~200 bytes regardless of page size — that gap IS
+    the dedup win."""
+    http_head = (
+        f"HTTP/1.1 {status} OK\r\n"
+        f"Content-Type: {content_type}\r\n\r\n"
+    ).encode("ascii")
+    warc_headers = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: revisit\r\n"
+        f"WARC-Record-ID: {_record_id(url + '#revisit')}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Profile: {REVISIT_PROFILE}\r\n"
+        f"WARC-Payload-Digest: md5:{payload_md5}\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http_head)}\r\n\r\n"
+    ).encode("ascii")
+    return warc_headers + http_head + CRLF + CRLF
+
+
+def synth_warc_blobs_typed(
+    pages: DataFrame, n_shards: int = 8, compress: bool = True
+) -> DataFrame:
+    """Like synth_warc_blobs but honors a ``record_type`` column: 'revisit'
+    rows serialize as digest-pointer records (their ``body`` is hashed for
+    the digest header but NOT stored), everything else as full responses."""
+
+    def build(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        records = []
+        for r in pdf.itertuples():
+            if r.record_type == "revisit":
+                records.append(
+                    build_revisit_record(
+                        r.url,
+                        hashlib.md5(r.body.encode("utf-8")).hexdigest(),
+                        status=int(r.status),
+                        content_type=r.content_type,
+                    )
+                )
+            else:
+                records.append(
+                    build_record(
+                        r.url,
+                        r.body.encode("utf-8"),
+                        status=int(r.status),
+                        content_type=r.content_type,
+                    )
+                )
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])],
+             "warc": [build_warc(records, compress=compress)]}
+        )
+
+    with_shard = pages.withColumn(
+        "shard", (F.col("doc_id") % n_shards).cast("int")
+    )
+    return with_shard.groupBy("shard").applyInPandas(build, WARC_BLOB_SCHEMA)
+
+
+def warc_scan_typed(blobs: DataFrame, blob_col: str = "warc") -> DataFrame:
+    """Scan archives surfacing BOTH record types: responses carry the
+    recomputed payload md5, revisits the digest from their header — so a
+    reader resolves every URL's content hash without the deduped bytes.
+    ``stored_bytes`` is the compressed member size (the storage accounting
+    that quantifies the revisit win)."""
+
+    def run(batches):
+        import pandas as pd
+
+        cols = [f.name for f in TYPED_SCAN_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for blob in pdf[blob_col]:
+                blob = bytes(blob)
+                for offset, length, rec in _split_members_with_offsets(blob):
+                    head_end = rec.find(CRLF + CRLF)
+                    if head_end < 0:
+                        continue
+                    wh = _parse_headers(rec[:head_end])
+                    rtype = wh.get(b"warc-type", b"").decode("ascii")
+                    url = wh.get(b"warc-target-uri", b"").decode("utf-8")
+                    if rtype == "response":
+                        clen = int(wh[b"content-length"])
+                        http = rec[head_end + 4 : head_end + 4 + clen]
+                        payload = http[http.find(CRLF + CRLF) + 4 :]
+                        md5 = hashlib.md5(payload).hexdigest()
+                    elif rtype == "revisit":
+                        digest = wh.get(b"warc-payload-digest", b"").decode("ascii")
+                        md5 = digest.split(":", 1)[1] if ":" in digest else digest
+                    else:
+                        continue
+                    rows.append(
+                        {"url": url, "record_type": rtype, "body_md5": md5,
+                         "stored_bytes": length}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return blobs.mapInPandas(run, TYPED_SCAN_SCHEMA)
+
+
+def classify_revisits(
+    new_pages: DataFrame, prior_digests: DataFrame
+) -> DataFrame:
+    """Recrawl-store dedup decision: join the fresh fetches against the
+    prior snapshot's (url, body_md5) CDX projection; identical digest ->
+    'revisit', changed or unseen -> 'response'. One broadcast-able join on
+    url; page bytes stay put."""
+    prior = prior_digests.select(
+        F.col("url"), F.col("body_md5").alias("__prior_md5")
+    )
+    return (
+        new_pages.withColumn("__md5", F.md5(F.col("body")))
+        .join(prior, "url", "left")
+        .withColumn(
+            "record_type",
+            F.when(
+                F.col("__prior_md5").isNotNull()
+                & (F.col("__md5") == F.col("__prior_md5")),
+                "revisit",
+            ).otherwise("response"),
+        )
+        .drop("__md5", "__prior_md5")
+    )
