@@ -115,8 +115,15 @@ def anchor_texts(edges_anchored: DataFrame, top_k: int = 3) -> DataFrame:
     short; page bytes never appear."""
     from pyspark.sql import Window
 
-    counts = edges_anchored.groupBy("dst", "anchor").agg(
-        F.count("*").alias("n_links")
+    # ONE exchange serves both wide ops: HashPartitioning(dst) satisfies the
+    # (dst, anchor) aggregate's ClusteredDistribution (every (dst, anchor)
+    # group lives inside one dst partition) AND the per-dst window — without
+    # this hint Spark exchanges on (dst, anchor) for the agg and again on
+    # (dst) for the window
+    counts = (
+        edges_anchored.repartition("dst")
+        .groupBy("dst", "anchor")
+        .agg(F.count("*").alias("n_links"))
     )
     w = Window.partitionBy("dst").orderBy(F.desc("n_links"), F.asc("anchor"))
     return (

@@ -9,8 +9,11 @@ the frontier happily eats them. The standard countermeasures (Heritrix's
 "too many hops"/path-repetition rules, IRLbot's spam-host budgeting) reduce
 to per-host evidence aggregation, which is exactly one Spark shuffle.
 
-Two signals, computed in ONE groupBy(host) pass over (url, content-hash)
-projections — page bytes never enter:
+Two signals, computed in one groupBy(host) aggregate over (url,
+content-hash) projections — page bytes never enter. (Physically Spark plans
+the two exact count-distincts as the standard Expand two-phase distinct
+aggregate — two exchanges of the tiny projection; swap to
+approx_count_distinct for one exchange when ±2% is acceptable at 100 TB):
 
 - duplication ratio: distinct URLs per distinct content hash. A host
   serving 10,000 URLs over 3 bodies is a trap regardless of URL shape.
