@@ -95,6 +95,7 @@ HEADLINE = [
     "anchor_texts",
     "bpe_encode_stats",
     "warc_revisit",
+    "robots_policies",
 ]
 
 

@@ -1,0 +1,177 @@
+"""robots.txt TEXT parsing + Crawl-delay -> politeness budget derivation.
+
+The engine's enforcement layers (frontier robots filter, per-host caps,
+streaming token buckets) consume STRUCTURED policies; this module supplies
+the missing front door: parsing raw robots.txt bytes the way a fetcher
+receives them. Reference scope: the tool reads only ``Sitemap:`` lines from
+robots.txt (crawler/web_crawler.py sitemap discovery); full
+Allow/Disallow/Crawl-delay parsing is the north-rule extension the frontier
+enforcement (COVERAGE.md S6) was already built for.
+
+Semantics implemented (RFC 9309 + the de-facto Crawl-delay extension):
+- line-oriented; ``#`` comments stripped; field names case-insensitive
+- groups = consecutive ``User-agent`` lines followed by directives; a
+  directive before any User-agent line is ignored
+- group selection: the group whose agent token is the LONGEST
+  case-insensitive substring-match for our agent wins; ``*`` matches
+  anything with the lowest precedence (RFC 9309 §2.2.1)
+- ``Allow``/``Disallow`` path prefixes kept verbatim (matching itself lives
+  in the frontier/native layer); empty ``Disallow:`` (allow-all) ignored
+- ``Crawl-delay``: seconds (int or decimal) from the selected group
+- ``Sitemap``: global, collected regardless of group
+
+Scale shape: robots bodies are fetched per HOST (10^6-10^7 rows at
+web scale, not 10^10) and parsed in ONE mapInPandas pass; the output rules
+table is exactly what `FrontierCrawler(robots_rules=...)` and
+`native.robots_disallowed_native` already consume, and Crawl-delays become
+per-host superstep caps (`crawl_delay_to_caps`) enforced by the existing
+host-cap window — parse once per robots fetch, enforce JVM-side forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+POLICY_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("rule", StringType()),         # allow | disallow
+        StructField("path_prefix", StringType()),
+        StructField("crawl_delay_ms", IntegerType()),  # group delay (dup per row)
+    ]
+)
+
+
+def parse_robots_text(text: str, agent: str = "*") -> dict:
+    """Parse one robots.txt body for ``agent``. Returns
+    {'rules': [(rule, prefix), ...], 'crawl_delay_ms': int|None,
+    'sitemaps': [url, ...]} — rules in file order (first-match layers
+    downstream preserve it)."""
+    groups: list[tuple[list, list]] = []  # (agent_tokens, directives)
+    cur_agents: list[str] = []
+    cur_dirs: list[tuple[str, str]] = []
+    in_agent_run = False
+    sitemaps: list[str] = []
+
+    def close_group():
+        nonlocal cur_agents, cur_dirs
+        if cur_agents:
+            groups.append((cur_agents, cur_dirs))
+        cur_agents, cur_dirs = [], []
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "sitemap":
+            if value:
+                sitemaps.append(value)
+            continue
+        if field == "user-agent":
+            if not in_agent_run:
+                close_group()
+                in_agent_run = True
+            cur_agents.append(value.lower())
+            continue
+        in_agent_run = False
+        if cur_agents:
+            cur_dirs.append((field, value))
+    close_group()
+
+    # RFC 9309 §2.2.1: longest agent token that is a substring of our agent;
+    # '*' has the lowest precedence
+    me = agent.lower()
+    best, best_len = None, -1
+    for agents, dirs in groups:
+        for a in agents:
+            if a == "*":
+                score = 0
+            elif a and a in me:
+                score = len(a)
+            else:
+                continue
+            if score > best_len:
+                best, best_len = dirs, score
+    rules: list[tuple[str, str]] = []
+    delay_ms = None
+    for field, value in best or []:
+        if field == "disallow" and value:
+            rules.append(("disallow", value))
+        elif field == "allow" and value:
+            rules.append(("allow", value))
+        elif field == "crawl-delay":
+            try:
+                delay_ms = int(float(value) * 1000)
+            except ValueError:
+                pass
+    return {"rules": rules, "crawl_delay_ms": delay_ms, "sitemaps": sitemaps}
+
+
+def parse_robots_df(
+    bodies: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, robots_txt) -> one row per Allow/Disallow rule with the
+    group's crawl_delay_ms replicated (hosts whose group has no path rules
+    but a delay emit one ('allow', '/') carrier row so the delay survives).
+    One mapInPandas pass; robots bodies never cross a shuffle."""
+
+    def run(batches):
+        import pandas as pd
+
+        cols = [f.name for f in POLICY_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                parsed = parse_robots_text(text or "", agent=agent)
+                delay = parsed["crawl_delay_ms"]
+                if parsed["rules"]:
+                    for rule, prefix in parsed["rules"]:
+                        rows.append((host, rule, prefix, delay))
+                elif delay is not None:
+                    rows.append((host, "allow", "/", delay))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return bodies.mapInPandas(run, POLICY_SCHEMA)
+
+
+def rules_list(policies: DataFrame) -> list[tuple]:
+    """Collect the (host, agent, rule, prefix) list `FrontierCrawler
+    (robots_rules=...)` takes. Policies tables are host-sized — bounded."""
+    return [
+        (r["host"], "*", r["rule"], r["path_prefix"])
+        for r in policies.filter(F.col("rule").isin("allow", "disallow"))
+        .select("host", "rule", "path_prefix")
+        .collect()
+    ]
+
+
+def crawl_delay_to_caps(
+    policies: DataFrame, superstep_seconds: float, default_cap: int | None = None
+) -> dict:
+    """Crawl-delay -> per-host URL budget for one superstep: a host asking
+    for delay d gets at most floor(superstep_seconds / d) fetches per wave
+    (>=1 so progress is never starved). Returns the {host: cap} dict
+    `CrawlConfig.host_caps` consumes."""
+    rows = (
+        policies.filter(F.col("crawl_delay_ms").isNotNull())
+        .groupBy("host")
+        .agg(F.max("crawl_delay_ms").alias("d"))
+        .collect()
+    )
+    caps = {}
+    for r in rows:
+        caps[r["host"]] = max(1, int(superstep_seconds * 1000 // r["d"]))
+    return caps

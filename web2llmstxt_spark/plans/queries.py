@@ -2778,6 +2778,70 @@ def sql_warc_revisit():
     """
 
 
+def q_robots_policies(spark, sf_dir):
+    """robots.txt text parsing (operators/robots.py): render a full robots
+    body per host JVM-side — a non-matching googlebot group, a '*' group
+    with Disallow/conditional Allow/uppercase field/conditional Crawl-delay,
+    comments, and a Sitemap line — then parse it back with the RFC 9309
+    group-selection kernel in one mapInPandas pass. The oracle recomputes
+    the expected policy rows from the same host attributes, so group
+    selection, case folding, rule ordering, and delay extraction are all
+    hash-checked (render and parse would have to fail identically to slip
+    through)."""
+    from ..operators import robots
+
+    docs = load(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.regexp_extract(_multihost_url_col(), "^https://([^/]*)", 1)
+        .alias("host")
+    ).distinct()
+    k = F.regexp_extract("host", r"ex([0-9])\.example", 1).cast("int")
+    text = F.concat(
+        F.lit(
+            "# synthetic robots  \n"
+            "User-agent: googlebot\nDisallow: /private\n\n"
+            "User-agent: *\nDisallow: /search\n"
+        ),
+        F.when(k % 2 == 0, F.lit("Allow: /search/docs\n")).otherwise(F.lit("")),
+        F.lit("DISALLOW: /tmp   # trailing comment\n"),
+        F.when(
+            k % 2 == 1,
+            F.concat(F.lit("Crawl-delay: "), (k + 1).cast("string"), F.lit("\n")),
+        ).otherwise(F.lit("")),
+        F.lit("Sitemap: https://"), F.col("host"), F.lit("/sitemap.xml\n"),
+    )
+    parsed = robots.parse_robots_df(hosts.withColumn("robots_txt", text))
+    # 0 = "no delay requested": the compare layer renders nullable ints as
+    # floats (pandas), so the driver row uses a sentinel; the operator's own
+    # contract stays nullable
+    return parsed.withColumn(
+        "crawl_delay_ms", F.coalesce("crawl_delay_ms", F.lit(0))
+    )
+
+
+def sql_robots_policies():
+    host = f"regexp_extract({_MULTIHOST_URL_SQL}, '^https://([^/]*)', 1)"
+    return f"""
+        WITH hosts AS (SELECT DISTINCT {host} AS host FROM documents),
+        hk AS (
+            SELECT host,
+                   CAST(regexp_extract(host, 'ex([0-9])\\.example', 1)
+                       AS INTEGER) AS k
+            FROM hosts),
+        delay AS (
+            SELECT host, k,
+                   CAST(CASE WHEN k % 2 = 1
+                        THEN (k + 1) * 1000 ELSE 0 END AS INTEGER) AS d
+            FROM hk)
+        SELECT host, 'disallow' AS rule, '/search' AS path_prefix,
+               d AS crawl_delay_ms FROM delay
+        UNION ALL
+        SELECT host, 'allow', '/search/docs', d FROM delay WHERE k % 2 = 0
+        UNION ALL
+        SELECT host, 'disallow', '/tmp', d FROM delay
+    """
+
+
 BPE_MERGES_N = 8
 
 
@@ -2954,4 +3018,5 @@ REGISTRY: dict[str, tuple] = {
     "anchor_texts": (q_anchor_texts, sql_anchor_texts),
     "bpe_encode_stats": (q_bpe_encode_stats, sql_bpe_encode_stats),
     "warc_revisit": (q_warc_revisit, sql_warc_revisit),
+    "robots_policies": (q_robots_policies, sql_robots_policies),
 }
