@@ -2,6 +2,8 @@
 including the consecutive-repeat framing edge a shared-delimiter encoding
 gets wrong — and encode-by-replay."""
 
+from pyspark.sql import functions as F
+
 from web2llmstxt_spark.operators import bpe
 
 
@@ -68,3 +70,38 @@ def test_early_stop_when_pairs_exhaust(spark):
     words = _words(spark, [("aa", 1)])
     out = bpe.learn_merges(spark, words, 5).collect()
     assert [(r["left_tok"], r["right_tok"]) for r in out] == [("a", "a")]
+
+
+def test_oracle_survives_early_stop(spark):
+    # vocab supports only 2 merges but the oracle unrolls 8: the empty-best
+    # iterations must be no-ops (LEFT JOIN ON TRUE), not vocab-vaporizing
+    # cross joins — both twins on the same tiny documents table
+    import duckdb
+
+    from web2llmstxt_spark.plans.queries import (
+        sql_bpe_encode_stats,
+        sql_bpe_merges,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 'abc abc xy' AS text")
+    merges = con.execute(sql_bpe_merges()).fetchall()
+    # 'abc' x2 + 'xy' (len>=2 words): merges (a,b)->(ab,c)->(x,y) = 3 then dry
+    assert len(merges) == 3
+    stats = dict(
+        (r[0], (r[1], r[2])) for r in con.execute(sql_bpe_encode_stats()).fetchall()
+    )
+    # after replay: abc -> 1 token (x2 corpus count), xy -> 1 token
+    assert stats == {1: (2, 3)}
+
+    docs = spark.createDataFrame([("abc abc xy",)], ["text"])
+    words = (
+        docs.selectExpr("explode(split(text, ' ')) AS word")
+        .filter("word rlike '^[a-z]+$' AND length(word) >= 2")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    got = bpe.learn_merges(spark, words, 8).collect()
+    assert [(r["left_tok"], r["right_tok"]) for r in got] == [
+        (m[1], m[2]) for m in sorted(merges)
+    ]

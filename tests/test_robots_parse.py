@@ -81,3 +81,29 @@ def test_caps_floor_at_one(spark):
         robots.parse_robots_df(bodies), superstep_seconds=1
     )
     assert caps == {"slow.example": 1}  # progress never starves
+
+
+def test_zero_delay_means_no_cap(spark):
+    bodies = spark.createDataFrame(
+        [("z.example", "User-agent: *\nCrawl-delay: 0\nDisallow: /x\n")],
+        "host string, robots_txt string",
+    )
+    pol = robots.parse_robots_df(bodies)
+    assert robots.crawl_delay_to_caps(pol, superstep_seconds=30) == {}
+
+
+def test_duplicate_star_groups_combine():
+    # RFC 9309: all groups at the winning specificity merge, file order
+    body = (
+        "User-agent: *\nDisallow: /a\n\n"
+        "User-agent: *\nDisallow: /b\nCrawl-delay: 3\n"
+    )
+    got = robots.parse_robots_text(body)
+    assert got["rules"] == [("disallow", "/a"), ("disallow", "/b")]
+    assert got["crawl_delay_ms"] == 3000
+
+
+def test_garbage_delay_ignored():
+    for bad in ("inf", "1e400", "-inf", "fast", "nan"):
+        got = robots.parse_robots_text(f"User-agent: *\nCrawl-delay: {bad}\n")
+        assert got["crawl_delay_ms"] is None, bad

@@ -64,3 +64,15 @@ def test_anchor_texts_topk_and_ties(spark):
     assert [(r["anchor"], r["n_links"], r["rnk"]) for r in got] == [
         ("home", 3, 1), ("start", 3, 2),
     ]
+
+
+def test_host_identity_strips_port_and_case(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("https://Spam.Example:8080/x?sid=1",), ("https://spam.example/y",)],
+        ["url"],
+    )
+    hosts = {r["h"] for r in df.select(traps.host_of(F.col("url")).alias("h")).collect()}
+    # both rows collapse to the frontier's deny-join identity (parse_url HOST)
+    assert hosts == {"spam.example"}

@@ -345,7 +345,6 @@ def canon_url_native(url: Column) -> Column:
     stripped = F.regexp_replace(rawpath, "/+$", "")
     path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
     query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
-    tracking = [F.lit(t) for t in sorted(kernels.TRACKING_PARAMS)]
     kept = F.filter(
         F.split(query, "&"),
         lambda p: (F.size(F.split(p, "=")) >= 2)

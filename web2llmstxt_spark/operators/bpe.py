@@ -106,27 +106,34 @@ def learn_merges(
         _initial_repr(F.col(word_col)).alias("repr"),
         F.col(cnt_col).cast("long").alias("cnt"),
     ).cache()
-    reprs.count()  # materialize once; every step's job reads the cache
+    base = reprs
+    base.count()  # materialize once; every step's job reads the cache
     merges = []
-    for step in range(1, n_merges + 1):
-        best = (
-            _pair_counts(reprs)
-            .orderBy(F.desc("pair_count"), "left_tok", "right_tok")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        b = best[0]
-        merges.append(
-            (step, b["left_tok"], b["right_tok"],
-             b["left_tok"] + b["right_tok"], b["pair_count"])
-        )
-        reprs = reprs.select(
-            _merge_repr(F.col("repr"), b["left_tok"], b["right_tok"])
-            .alias("repr"),
-            "cnt",
-        )
+    try:
+        for step in range(1, n_merges + 1):
+            best = (
+                _pair_counts(reprs)
+                .orderBy(F.desc("pair_count"), "left_tok", "right_tok")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            b = best[0]
+            merges.append(
+                (step, b["left_tok"], b["right_tok"],
+                 b["left_tok"] + b["right_tok"], b["pair_count"])
+            )
+            reprs = reprs.select(
+                _merge_repr(F.col("repr"), b["left_tok"], b["right_tok"])
+                .alias("repr"),
+                "cnt",
+            )
+    finally:
+        # the merge table is fully collected — release the cached vocab so
+        # repeated invocations (bench loops, bpe_merges + bpe_encode_stats
+        # in one session) don't accumulate storage blocks
+        base.unpersist()
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 

@@ -91,8 +91,8 @@ def parse_robots_text(text: str, agent: str = "*") -> dict:
     # RFC 9309 §2.2.1: longest agent token that is a substring of our agent;
     # '*' has the lowest precedence
     me = agent.lower()
-    best, best_len = None, -1
-    for agents, dirs in groups:
+    best_len = -1
+    for agents, _dirs in groups:
         for a in agents:
             if a == "*":
                 score = 0
@@ -100,11 +100,22 @@ def parse_robots_text(text: str, agent: str = "*") -> dict:
                 score = len(a)
             else:
                 continue
-            if score > best_len:
-                best, best_len = dirs, score
+            best_len = max(best_len, score)
+    # RFC 9309 §2.2.1: ALL groups matching at the winning specificity are
+    # combined (e.g. two separate 'User-agent: *' sections both apply),
+    # rules concatenated in file order
+    best: list[tuple[str, str]] = []
+    for agents, dirs in groups:
+        scores = [
+            0 if a == "*" else len(a)
+            for a in agents
+            if a == "*" or (a and a in me)
+        ]
+        if scores and max(scores) == best_len:
+            best.extend(dirs)
     rules: list[tuple[str, str]] = []
     delay_ms = None
-    for field, value in best or []:
+    for field, value in best:
         if field == "disallow" and value:
             rules.append(("disallow", value))
         elif field == "allow" and value:
@@ -112,8 +123,8 @@ def parse_robots_text(text: str, agent: str = "*") -> dict:
         elif field == "crawl-delay":
             try:
                 delay_ms = int(float(value) * 1000)
-            except ValueError:
-                pass
+            except (ValueError, OverflowError):
+                pass  # garbage like 'inf'/'1e400'/'fast' -> no delay
     return {"rules": rules, "crawl_delay_ms": delay_ms, "sitemaps": sitemaps}
 
 
@@ -158,15 +169,14 @@ def rules_list(policies: DataFrame) -> list[tuple]:
     ]
 
 
-def crawl_delay_to_caps(
-    policies: DataFrame, superstep_seconds: float, default_cap: int | None = None
-) -> dict:
+def crawl_delay_to_caps(policies: DataFrame, superstep_seconds: float) -> dict:
     """Crawl-delay -> per-host URL budget for one superstep: a host asking
     for delay d gets at most floor(superstep_seconds / d) fetches per wave
-    (>=1 so progress is never starved). Returns the {host: cap} dict
-    `CrawlConfig.host_caps` consumes."""
+    (>=1 so progress is never starved). 'Crawl-delay: 0' (in the wild it
+    means "no delay") yields no cap, like an absent directive. Returns the
+    {host: cap} dict `CrawlConfig.host_caps` consumes."""
     rows = (
-        policies.filter(F.col("crawl_delay_ms").isNotNull())
+        policies.filter(F.col("crawl_delay_ms") > 0)
         .groupBy("host")
         .agg(F.max("crawl_delay_ms").alias("d"))
         .collect()

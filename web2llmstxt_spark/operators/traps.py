@@ -34,8 +34,12 @@ from pyspark.sql import functions as F
 
 
 def host_of(url_col) -> F.Column:
-    """Host extraction (JVM regex; mirrors the SQL twin in the oracle)."""
-    return F.regexp_extract(url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)
+    """Hostname extraction: lowercase, explicit port stripped — the SAME
+    identity the frontier's deny-join key (F.parse_url HOST) and the crawl
+    oracle's urlparse().hostname produce, so a denylist row emitted here
+    matches there (JVM regex; mirrored by the SQL twin in the oracle)."""
+    raw = F.regexp_extract(url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)
+    return F.lower(F.regexp_replace(raw, ":[0-9]+$", ""))
 
 
 def path_depth(url_col) -> F.Column:

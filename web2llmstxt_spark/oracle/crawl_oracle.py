@@ -146,9 +146,11 @@ def crawl(corpus: Corpus, cfg: CrawlConfig, seeds: list[tuple[int, str]] | None 
         if cfg.enforce_robots:
             scored = [(u, s) for (u, s) in scored if not robots_disallowed(u, rules_by_host)]
         if cfg.deny_hosts:
+            # hostname (lowercase, NO port) — the same identity the engine's
+            # F.parse_url(url,'HOST') join key and traps.host_of produce
             scored = [
                 (u, s) for (u, s) in scored
-                if urllib.parse.urlparse(u).netloc.lower() not in cfg.deny_hosts
+                if (urllib.parse.urlparse(u).hostname or "") not in cfg.deny_hosts
             ]
         # canonical deterministic order (quirk Q1)
         scored.sort(key=lambda x: (-x[1], x[0]))

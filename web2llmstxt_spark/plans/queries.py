@@ -2657,8 +2657,9 @@ def sql_crawl_traps():
         WITH pages AS (
             SELECT {url} AS url, md5({body_key}) AS body_md5 FROM documents),
         proj AS (
-            SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)
-                       AS host,
+            SELECT lower(regexp_replace(
+                       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1),
+                       ':[0-9]+$', '')) AS host,
                    url, body_md5,
                    CASE WHEN trim(regexp_extract(url,
                             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1), '/')
@@ -2885,9 +2886,14 @@ def _sql_bpe_cte_prefix(n: int) -> str:
             GROUP BY 1, 2),
         b{i} AS (SELECT l, r, pc FROM p{i} ORDER BY pc DESC, l, r LIMIT 1),
         w{i} AS (
-            SELECT replace(repr, chr(31)||l||chr(31)||chr(31)||r||chr(31),
-                           chr(31)||l||r||chr(31)) AS repr, cnt
-            FROM {w_prev} CROSS JOIN b{i})"""
+            -- LEFT JOIN ON TRUE, not CROSS JOIN: when pairs exhaust early
+            -- b{i} is EMPTY, and a cross join would vaporize the vocab
+            -- (Spark's learn_merges stops and keeps it); NULL pair = no-op
+            SELECT CASE WHEN l IS NULL THEN repr
+                        ELSE replace(repr,
+                                     chr(31)||l||chr(31)||chr(31)||r||chr(31),
+                                     chr(31)||l||r||chr(31)) END AS repr, cnt
+            FROM {w_prev} LEFT JOIN b{i} ON TRUE)"""
 
     sql = """
         WITH words AS (

@@ -175,31 +175,53 @@ def parse_warc(blob: bytes, compressed: bool | None = None) -> Iterator[dict]:
         }
 
 
+def _parse_record(rec: bytes) -> dict | None:
+    """THE single record-framing parser (every scan path goes through it —
+    a framing fix lands once). Returns None for unframeable bytes; else a
+    dict with ``type`` ('response' | 'revisit' | other) and, for responses:
+    url/status/content_type/payload; for revisits: url/status/content_type/
+    digest (the hex from WARC-Payload-Digest, algorithm prefix stripped)."""
+    head_end = rec.find(CRLF + CRLF)
+    if head_end < 0:
+        return None
+    wh = _parse_headers(rec[:head_end])
+    rtype = wh.get(b"warc-type", b"").decode("ascii")
+    out = {
+        "type": rtype,
+        "url": wh.get(b"warc-target-uri", b"").decode("utf-8"),
+    }
+    if rtype not in ("response", "revisit"):
+        return out
+    clen = int(wh[b"content-length"])
+    http = rec[head_end + 4 : head_end + 4 + clen]
+    status_line_end = http.find(CRLF)
+    out["status"] = int(http[:status_line_end].split(b" ")[1])
+    http_head_end = http.find(CRLF + CRLF)
+    hh = _parse_headers(http[status_line_end + 2 : http_head_end])
+    out["content_type"] = hh.get(b"content-type", b"").decode("ascii")
+    if rtype == "response":
+        out["payload"] = http[http_head_end + 4 :]
+    else:
+        digest = wh.get(b"warc-payload-digest", b"").decode("ascii")
+        out["digest"] = digest.split(":", 1)[1] if ":" in digest else digest
+    return out
+
+
 def parse_warc_full(blob: bytes, compressed: bool | None = None) -> Iterator[dict]:
     """Like ``parse_warc`` but yields the raw ``payload`` bytes too."""
     if compressed is None:
         compressed = blob[:2] == b"\x1f\x8b"
     records = _split_members(blob) if compressed else _split_plain(blob)
     for rec in records:
-        head_end = rec.find(CRLF + CRLF)
-        if head_end < 0:
+        r = _parse_record(rec)
+        if r is None or r["type"] != "response":
             continue
-        wh = _parse_headers(rec[:head_end])
-        if wh.get(b"warc-type") != b"response":
-            continue
-        clen = int(wh[b"content-length"])
-        http = rec[head_end + 4 : head_end + 4 + clen]
-        status_line_end = http.find(CRLF)
-        status = int(http[:status_line_end].split(b" ")[1])
-        http_head_end = http.find(CRLF + CRLF)
-        hh = _parse_headers(http[status_line_end + 2 : http_head_end])
-        payload = http[http_head_end + 4 :]
         yield {
-            "url": wh[b"warc-target-uri"].decode("utf-8"),
-            "status": status,
-            "content_type": hh.get(b"content-type", b"").decode("ascii"),
-            "content_length": len(payload),
-            "payload": payload,
+            "url": r["url"],
+            "status": r["status"],
+            "content_type": r["content_type"],
+            "content_length": len(r["payload"]),
+            "payload": r["payload"],
         }
 
 
@@ -322,20 +344,13 @@ def parse_warc_cdx(blob: bytes) -> Iterator[dict]:
 
 
 def _record_fields(rec: bytes) -> Iterator[dict]:
-    head_end = rec.find(CRLF + CRLF)
-    if head_end < 0:
+    r = _parse_record(rec)
+    if r is None or r["type"] != "response":
         return
-    wh = _parse_headers(rec[:head_end])
-    if wh.get(b"warc-type") != b"response":
-        return
-    clen = int(wh[b"content-length"])
-    http = rec[head_end + 4 : head_end + 4 + clen]
-    status = int(http[: http.find(CRLF)].split(b" ")[1])
-    payload = http[http.find(CRLF + CRLF) + 4 :]
     yield {
-        "url": wh[b"warc-target-uri"].decode("utf-8"),
-        "status": status,
-        "body_md5": hashlib.md5(payload).hexdigest(),
+        "url": r["url"],
+        "status": r["status"],
+        "body_md5": hashlib.md5(r["payload"]).hexdigest(),
     }
 
 
@@ -537,26 +552,18 @@ def warc_scan_typed(blobs: DataFrame, blob_col: str = "warc") -> DataFrame:
             rows = []
             for blob in pdf[blob_col]:
                 blob = bytes(blob)
-                for offset, length, rec in _split_members_with_offsets(blob):
-                    head_end = rec.find(CRLF + CRLF)
-                    if head_end < 0:
+                for _offset, length, rec in _split_members_with_offsets(blob):
+                    r = _parse_record(rec)
+                    if r is None or r["type"] not in ("response", "revisit"):
                         continue
-                    wh = _parse_headers(rec[:head_end])
-                    rtype = wh.get(b"warc-type", b"").decode("ascii")
-                    url = wh.get(b"warc-target-uri", b"").decode("utf-8")
-                    if rtype == "response":
-                        clen = int(wh[b"content-length"])
-                        http = rec[head_end + 4 : head_end + 4 + clen]
-                        payload = http[http.find(CRLF + CRLF) + 4 :]
-                        md5 = hashlib.md5(payload).hexdigest()
-                    elif rtype == "revisit":
-                        digest = wh.get(b"warc-payload-digest", b"").decode("ascii")
-                        md5 = digest.split(":", 1)[1] if ":" in digest else digest
-                    else:
-                        continue
+                    md5 = (
+                        hashlib.md5(r["payload"]).hexdigest()
+                        if r["type"] == "response"
+                        else r["digest"]
+                    )
                     rows.append(
-                        {"url": url, "record_type": rtype, "body_md5": md5,
-                         "stored_bytes": length}
+                        {"url": r["url"], "record_type": r["type"],
+                         "body_md5": md5, "stored_bytes": length}
                     )
             yield pd.DataFrame(rows, columns=cols)
 
