@@ -96,6 +96,7 @@ HEADLINE = [
     "bpe_encode_stats",
     "warc_revisit",
     "robots_policies",
+    "url_templates",
 ]
 
 

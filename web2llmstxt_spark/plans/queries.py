@@ -2843,6 +2843,52 @@ def sql_robots_policies():
     """
 
 
+def q_url_templates(spark, sf_dir):
+    """URL path-template mining: generalize each URL's path (digit runs ->
+    '<n>', 32+-char hex runs -> '<hex>'), then count distinct URLs and docs
+    per (host, template) — the crawler's-eye view of a site's URL grammar.
+    Production frontiers mine exactly this to spot parametric explosions
+    (the per-template twin of crawl_traps' host-level ratio) and to pick
+    canonical representatives per template. Pure JVM regex + one groupBy of
+    short strings."""
+    from ..operators import traps
+
+    docs = load(spark, sf_dir, "documents")
+    url = _multihost_url_col()
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1)
+    template = F.regexp_replace(
+        F.regexp_replace(path, "[a-f0-9]{32,}", "<hex>"), "[0-9]+", "<n>"
+    )
+    return (
+        docs.select(
+            traps.host_of(url).alias("host"),
+            template.alias("template"),
+            url.alias("u"),
+        )
+        .groupBy("host", "template")
+        .agg(F.countDistinct("u").alias("n_urls"))
+    )
+
+
+def sql_url_templates():
+    u = _MULTIHOST_URL_SQL
+    host = (
+        f"lower(regexp_replace(regexp_extract({u}, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1), ':[0-9]+$', ''))"
+    )
+    path = f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1)"
+    template = (
+        f"regexp_replace(regexp_replace({path}, '[a-f0-9]{{32,}}', '<hex>', 'g'), "
+        "'[0-9]+', '<n>', 'g')"
+    )
+    return f"""
+        SELECT {host} AS host, {template} AS template,
+               count(DISTINCT {u}) AS n_urls
+        FROM documents
+        GROUP BY 1, 2
+    """
+
+
 BPE_MERGES_N = 8
 
 
@@ -3025,4 +3071,5 @@ REGISTRY: dict[str, tuple] = {
     "bpe_encode_stats": (q_bpe_encode_stats, sql_bpe_encode_stats),
     "warc_revisit": (q_warc_revisit, sql_warc_revisit),
     "robots_policies": (q_robots_policies, sql_robots_policies),
+    "url_templates": (q_url_templates, sql_url_templates),
 }
