@@ -97,6 +97,7 @@ HEADLINE = [
     "warc_revisit",
     "robots_policies",
     "url_templates",
+    "host_pagerank",
 ]
 
 

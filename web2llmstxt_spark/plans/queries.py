@@ -2889,6 +2889,106 @@ def sql_url_templates():
     """
 
 
+_HPR_SEGS = ["docs", "blog", "login", "download", "misc"]
+
+
+def _host_id_col():
+    lang_ord = (
+        F.when(F.col("lang") == "en", 0)
+        .when(F.col("lang") == "fr", 1)
+        .when(F.col("lang") == "de", 2)
+        .when(F.col("lang") == "es", 3)
+        .otherwise(4)
+    )
+    return (lang_ord * 4 + F.col("doc_id") % 4).cast("long")
+
+
+_HOST_ID_SQL = (
+    "((CASE lang WHEN 'en' THEN 0 WHEN 'fr' THEN 1 WHEN 'de' THEN 2 "
+    "WHEN 'es' THEN 3 ELSE 4 END) * 4 + doc_id % 4)"
+)
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Host-graph authority: collapse the page-level synthetic link graph to
+    the 20-host graph (multi-edges kept — multiplicity IS the edge weight
+    under pagerank's per-edge contribution sum) and run the same
+    fixed-iteration PageRank the page-level query uses. This is the
+    web-graph aggregation crawl prioritizers actually rank with (host-level
+    authority is stabler than page-level at frontier scale, and the graph is
+    6 orders smaller). Every host has out-edges, so the dangling term is
+    exactly 0 and the oracle omits it, like the page twin."""
+    docs = load(spark, sf_dir, "documents")
+    hid = docs.select("doc_id", _host_id_col().alias("hid"))
+    edges = graph.synthetic_edges(docs)
+    hedges = (
+        edges.join(
+            hid.select(F.col("doc_id").alias("src"), F.col("hid").alias("src_h")),
+            "src",
+        )
+        .join(
+            hid.select(F.col("doc_id").alias("dst"), F.col("hid").alias("dst_h")),
+            "dst",
+        )
+        .select(F.col("src_h").alias("src"), F.col("dst_h").alias("dst"))
+    )
+    nodes = hid.select(F.col("hid").alias("id")).distinct()
+    ranks = graph.pagerank(nodes, hedges, iters=PR_ITERS, damping=PR_DAMPING)
+    seg = F.when(F.col("id") / 4 < 1, "docs")
+    for i, s in enumerate(_HPR_SEGS[1:], start=1):
+        seg = seg.when((F.col("id") / 4).cast("int") == i, s)
+    host = F.concat(
+        seg, F.lit(".ex"), (F.col("id") % 4).cast("string"), F.lit(".example")
+    )
+    return (
+        ranks.select(host.alias("host"), F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), "host")
+    )
+
+
+def sql_host_pagerank(iters: int = PR_ITERS, d: float = PR_DAMPING):
+    segs = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_HPR_SEGS)
+    )
+    ctes = [
+        f"hostmap AS (SELECT doc_id, {_HOST_ID_SQL} AS hid FROM documents)",
+        "hn AS (SELECT count(DISTINCT hid) AS c FROM hostmap)",
+        "nodes AS (SELECT DISTINCT hid AS id FROM hostmap)",
+        "n AS (SELECT count(*) AS c FROM documents)",
+        f"""edges0 AS (
+            SELECT doc_id AS src,
+                   (doc_id * {graph.EDGE_MULT} + j) % (SELECT c FROM n) AS dst
+            FROM documents, (VALUES (1),(2),(3)) t(j)
+            WHERE j <= 1 + (doc_id % {graph.EDGE_FANOUT}))""",
+        """edges AS (
+            SELECT hs.hid AS src, hd.hid AS dst
+            FROM edges0 e
+            JOIN hostmap hs ON hs.doc_id = e.src
+            JOIN hostmap hd ON hd.doc_id = e.dst)""",
+        "deg AS (SELECT src, count(*) AS g FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, 1.0 / (SELECT c FROM hn) AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+            SELECT nodes.id,
+                   (1.0 - {d}) / (SELECT c FROM hn)
+                     + {d} * coalesce(c{i}.s, 0.0) AS r
+            FROM nodes LEFT JOIN (
+                SELECT e.dst AS id, sum(p.r / deg.g) AS s
+                FROM edges e JOIN r{i - 1} p ON p.id = e.src
+                             JOIN deg ON deg.src = e.src
+                GROUP BY e.dst) c{i} ON c{i}.id = nodes.id)""")
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT (CASE CAST(id // 4 AS INTEGER) {segs} END)
+                   || '.ex' || CAST(id % 4 AS VARCHAR) || '.example' AS host,
+               round(r, 8) AS rank
+        FROM r{iters}
+        ORDER BY round(r, 8) DESC, host
+    """
+
+
 BPE_MERGES_N = 8
 
 
@@ -3072,4 +3172,5 @@ REGISTRY: dict[str, tuple] = {
     "warc_revisit": (q_warc_revisit, sql_warc_revisit),
     "robots_policies": (q_robots_policies, sql_robots_policies),
     "url_templates": (q_url_templates, sql_url_templates),
+    "host_pagerank": (q_host_pagerank, sql_host_pagerank),
 }
