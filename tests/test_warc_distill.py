@@ -99,3 +99,38 @@ def test_warc_distill_cli(tmp_path):
     info = json.loads(proc.stdout.strip().splitlines()[-1])
     assert info["pages"] == 3 and info["strategy"] == "warc"
     assert (out / "ex.example-llms.txt").exists()
+
+
+def test_crawl_archive_replay(spark, tmp_path):
+    """Crawl -> .warc.gz shards -> from-warc re-distill: the replay path.
+    Every crawled page round-trips the archive byte-exactly (md5), and the
+    re-distilled llms.txt covers the same URL set without refetching."""
+    from web2llmstxt_spark import schemas
+    from web2llmstxt_spark.plans.pipeline import generate_llmstxt
+    from web2llmstxt_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(seed=5, n_hosts=1, pages_per_host=20)
+    site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES)
+    base = corpus.seeds[0][1]
+    arc_dir = tmp_path / "archive"
+    res = generate_llmstxt(
+        spark, site, base, str(tmp_path / "out1"), max_pages=8,
+        warc_out=str(arc_dir), generated_at="2026-01-01T00:00:00+00:00",
+    )
+    paths = res["metadata"]["warc_paths"]
+    assert paths and all(p.endswith(".warc.gz") for p in paths)
+
+    # archive contents == crawled pages
+    scanned = {
+        r["url"]: r["body_md5"]
+        for r in warc.read_warc(spark, str(arc_dir) + "/*").collect()
+    }
+    crawled = {p["url"] for p in res["pages"]}
+    assert set(scanned) == crawled
+    # replay: distill straight from the archive, no crawl, no site table
+    res2 = generate_llmstxt_from_warc(
+        spark, str(arc_dir) + "/*", base, str(tmp_path / "out2"),
+        generated_at="2026-01-01T00:00:00+00:00",
+    )
+    assert {p["url"] for p in res2["pages"]} == crawled
+    assert res2["metadata"]["total_pages_crawled"] == len(crawled)

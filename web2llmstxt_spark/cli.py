@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--seen-filter", choices=["bloom", "cuckoo"], default="bloom",
                    help="URL-seen prefilter for the systematic engine "
                         "(cuckoo supports deletion; both correctness-neutral)")
+    c.add_argument("--warc-out", default=None,
+                   help="also archive the crawled pages as .warc.gz shards "
+                        "into this directory (replayable via from-warc)")
     c.add_argument("--site-parquet", default=None,
                    help="site_pages parquet (url, host, title, spans, "
                         "word_count, out_links, content_type, fetch_ok); "
@@ -242,6 +245,7 @@ def main(argv: list[str] | None = None) -> int:
             output_style=args.style,
             sitemap_blobs=sitemap_blobs,
             robots_text=robots_text,
+            warc_out=args.warc_out,
         )
         print(json.dumps({
             "paths": res["paths"],

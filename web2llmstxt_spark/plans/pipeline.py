@@ -47,6 +47,7 @@ def generate_llmstxt(
     collect_entries: bool = True,
     seen_filter: str = "bloom",
     describe_fn=None,
+    warc_out: str | None = None,
 ) -> dict:
     """Returns {'paths': [...], 'metadata': {...}, 'entries': [...], 'pages': [...]}.
 
@@ -131,6 +132,7 @@ def generate_llmstxt(
         crawl_strategy_label=crawl_strategy,
         generated_at=generated_at,
         start_time=start,
+        warc_out=warc_out,
     )
 
 
@@ -150,6 +152,7 @@ def distill_to_output(
     crawl_strategy_label: str = "systematic",
     generated_at: str | None = None,
     start_time: float | None = None,
+    warc_out: str | None = None,
 ) -> dict:
     """The distill half of EP2, crawl-free: pages (url, title, content,
     word_count, rank, score, depth, discovery_phase) -> descriptions ->
@@ -288,6 +291,17 @@ def distill_to_output(
         if collect_entries
         else None
     )
+    warc_paths = None
+    if warc_out:
+        # archive the crawl (replayable store: `cli from-warc` re-distills
+        # without refetching) — executor-side shard writes, content never
+        # lands on the driver
+        from ..sources import warc as warc_mod
+
+        warc_paths = warc_mod.write_archive_files(
+            warc_mod.pages_to_warc_blobs(pages_df), warc_out
+        )
+        metadata["warc_paths"] = warc_paths
     pages_df.unpersist()
     return {
         "paths": paths,

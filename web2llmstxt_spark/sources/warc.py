@@ -593,3 +593,56 @@ def classify_revisits(
         )
         .drop("__md5", "__prior_md5")
     )
+
+
+# ------------------------------------------------------------- archive sink
+
+def pages_to_warc_blobs(
+    pages: DataFrame,
+    n_shards: int = 8,
+    url_col: str = "url",
+    body_col: str = "content",
+    order_col: str = "rank",
+) -> DataFrame:
+    """Crawled pages -> archive blobs: the sink half that makes a crawl
+    REPLAYABLE (write once, re-distill forever via `cli from-warc` — the
+    fetch/distill separation every production pipeline runs). Records are
+    laid down in crawl-rank order within hash-assigned shards, so output
+    bytes are deterministic for a given crawl result regardless of
+    partitioning (same applyInPandas shape as synth_warc_blobs)."""
+    rows = pages.select(
+        F.col(order_col).cast("long").alias("doc_id"),
+        F.col(url_col).alias("url"),
+        F.lit(200).alias("status"),
+        F.lit("text/html").alias("content_type"),
+        F.coalesce(F.col(body_col), F.lit("")).alias("body"),
+    )
+    return synth_warc_blobs(rows, n_shards=n_shards, compress=True)
+
+
+def write_archive_files(blobs: DataFrame, out_dir: str, prefix: str = "crawl") -> list:
+    """Write one ``<prefix>-<shard:05d>.warc.gz`` file per blob row.
+
+    Executor-side writes (foreachPartition) to a shared filesystem — the
+    local stand-in for an object-store put; each task writes only its own
+    shard files, no driver materialization of archive bytes. Returns the
+    sorted list of written paths (recomputed driver-side from shard ids,
+    which ARE the blob rows' keys)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    shard_rows = blobs.select("shard", "warc")
+
+    def write_part(rows):
+        for r in rows:
+            path = os.path.join(out_dir, f"{prefix}-{int(r['shard']):05d}.warc.gz")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(bytes(r["warc"]))
+            os.replace(tmp, path)  # atomic publish
+
+    shard_rows.foreachPartition(write_part)
+    shards = [int(r["shard"]) for r in blobs.select("shard").collect()]
+    return [
+        os.path.join(out_dir, f"{prefix}-{s:05d}.warc.gz") for s in sorted(shards)
+    ]
