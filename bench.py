@@ -92,6 +92,7 @@ HEADLINE = [
     "bpe_merges",
     "warc_cdx",
     "crawl_traps",
+    "host_mirrors",
     "anchor_texts",
     "bpe_encode_stats",
     "warc_revisit",

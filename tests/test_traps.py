@@ -76,3 +76,38 @@ def test_host_identity_strips_port_and_case(spark):
     hosts = {r["h"] for r in df.select(traps.host_of(F.col("url")).alias("h")).collect()}
     # both rows collapse to the frontier's deny-join identity (parse_url HOST)
     assert hosts == {"spam.example"}
+
+
+def test_detect_mirrors_containment_and_cap(spark):
+    # a.example serves 9 bodies; m.example mirrors 6 of them (subset mirror)
+    rows = [(f"https://a.example/p{i}", f"b{i}") for i in range(9)]
+    rows += [(f"https://m.example/q{i}", f"b{i}") for i in range(6)]
+    # partial copier: 3 of a's OTHER bodies + 5 of its own -> below gate
+    rows += [(f"https://c.example/r{i}", f"b{i}") for i in range(6, 9)]
+    rows += [(f"https://c.example/s{i}", f"u{i}") for i in range(5)]
+    # boilerplate body on 4 hosts > cap: must NOT create pair evidence
+    for h in ["a", "m", "c", "d"]:
+        rows.append((f"https://{h}.example/empty", "boiler"))
+    out = {
+        (r["host_a"], r["host_b"]): r
+        for r in traps.detect_mirrors(
+            _pages(spark, rows), min_shared=3, overlap_x1000=800,
+            max_hosts_per_body=3,
+        ).collect()
+    }
+    # n_a=10, n_m=7 (incl. boiler): shared 6 -> 6000//7 = 857 >= 800
+    am = out[("a.example", "m.example")]
+    assert (am["shared"], am["overlap_x1000"], am["is_mirror"]) == (6, 857, True)
+    # n_c=9: shared 3 -> 3000//9 = 333 < 800
+    ac = out[("a.example", "c.example")]
+    assert (ac["shared"], ac["overlap_x1000"], ac["is_mirror"]) == (3, 333, False)
+    assert ("c.example", "m.example") not in out  # only boiler shared
+
+
+def test_mirror_denylist_denies_the_copy(spark):
+    rows = [(f"https://big.example/p{i}", f"b{i}") for i in range(10)]
+    rows += [(f"https://scraper.example/c{i}", f"b{i}") for i in range(6)]
+    m = traps.detect_mirrors(_pages(spark, rows), min_shared=3)
+    assert [r["host"] for r in traps.mirror_denylist(m).collect()] == [
+        "scraper.example"
+    ]

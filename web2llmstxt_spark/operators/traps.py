@@ -97,3 +97,94 @@ def detect_traps(
 def trap_denylist(traps: DataFrame) -> DataFrame:
     """The broadcast-ready (host) denylist for the frontier."""
     return traps.filter("is_trap").select("host")
+
+
+# Bodies served by more hosts than this are boilerplate (empty pages, parked-
+# domain templates, error shells) — no evidence of mirroring, and the pair
+# fanout of joining them is quadratic. Dropped BEFORE the self-join; the
+# DuckDB twin mirrors the cap (same discipline as dedup.MAX_BUCKET).
+MAX_HOSTS_PER_BODY = 64
+
+
+def detect_mirrors(
+    pages: DataFrame,
+    url_col: str = "url",
+    hash_col: str = "body_md5",
+    min_shared: int = 5,
+    overlap_x1000: int = 800,
+    max_hosts_per_body: int = MAX_HOSTS_PER_BODY,
+) -> DataFrame:
+    """Mirror-host detection: host pairs whose content sets largely coincide.
+
+    Web-scale crawls waste frontier budget re-fetching mirrors (same site
+    under example.com / example.org / cdn doubles, scraper copies); the
+    classic countermeasure (Bharat & Broder '99 "mirror detection on the
+    web"; Heritrix dedups only per-URL) is containment over content
+    fingerprints, which Spark expresses as one bounded self-join:
+
+    1. distinct (host, body-hash) — the host's content set, one shuffle;
+    2. per-body host count; bodies on >= 2 and <= ``max_hosts_per_body``
+       hosts are pairing evidence (the cap kills boilerplate fanout);
+    3. self-join eligible (host, hash) rows on hash with host_a < host_b →
+       groupBy pair count = |shared bodies|, pairs below ``min_shared``
+       dropped BEFORE the per-host-size join so output is bounded by real
+       mirror candidates, not every incidental single-page collision;
+    4. containment score = shared*1000 // min(|A|, |B|) as a bit-stable
+       integer — a strict-subset scraper of a big site scores 1000 even
+       though Jaccard would dilute it, which is the behavior you want.
+
+    Output: (host_a, host_b, shared, n_a, n_b, overlap_x1000, is_mirror).
+
+    Scale: every stage is hash-partitioned on (hash) or (pair); nothing is
+    collected; the pair space is bounded by cap^2 per body. Detection is an
+    offline batch pass like detect_traps; enforcement is `mirror_denylist`
+    broadcast into the frontier."""
+    u = F.col(url_col)
+    hb = (
+        pages.select(host_of(u).alias("host"), F.col(hash_col).alias("h"))
+        .distinct()
+    )
+    per_host = hb.groupBy("host").agg(F.count("*").alias("n_bodies"))
+    eligible = (
+        hb.groupBy("h")
+        .agg(F.count("*").alias("nh"))
+        .filter((F.col("nh") >= 2) & (F.col("nh") <= max_hosts_per_body))
+        .select("h")
+    )
+    hbe = hb.join(eligible, "h")
+    a, b = hbe.alias("a"), hbe.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.host") < F.col("b.host")))
+        .groupBy(F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    na = per_host.select(F.col("host").alias("host_a"), F.col("n_bodies").alias("n_a"))
+    nb = per_host.select(F.col("host").alias("host_b"), F.col("n_bodies").alias("n_b"))
+    overlap = F.floor(F.col("shared") * 1000 / F.least("n_a", "n_b"))
+    return (
+        shared.join(na, "host_a")
+        .join(nb, "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "shared",
+            "n_a",
+            "n_b",
+            overlap.alias("overlap_x1000"),
+            (overlap >= overlap_x1000).alias("is_mirror"),
+        )
+    )
+
+
+def mirror_denylist(mirrors: DataFrame) -> DataFrame:
+    """One (host) row per mirror pair: deny the copy, keep the canonical.
+
+    The host with FEWER distinct bodies is the copy (a scraper mirrors a
+    subset); ties break to the lexicographically larger host so the choice
+    is deterministic. distinct() because one copy can mirror several
+    canonicals."""
+    copy = F.when(F.col("n_a") < F.col("n_b"), F.col("host_a")).when(
+        F.col("n_b") < F.col("n_a"), F.col("host_b")
+    ).otherwise(F.greatest("host_a", "host_b"))
+    return mirrors.filter("is_mirror").select(copy.alias("host")).distinct()

@@ -2684,6 +2684,91 @@ def sql_crawl_traps():
     """
 
 
+def q_host_mirrors(spark, sf_dir):
+    """Mirror-host detection (traps.detect_mirrors): every fr doc's body is
+    republished verbatim on mirror.exN.example (a full mirror of
+    blog.exN.example -> containment 1000), while copycat.exN.example carries
+    a ~half-copied / ~half-original mix of docs.exN.example's en pages
+    (containment ~500, below the 800 gate). Exactly the blog/mirror pairs
+    flag; the copycat pairs surface as candidates but stay is_mirror=false."""
+    from ..operators import traps
+
+    docs = load(spark, sf_dir, "documents")
+    first_word = F.get(F.split(F.col("text"), " "), 0)
+
+    def synth_url(host_prefix):
+        return F.concat(
+            F.lit(f"https://{host_prefix}.ex"),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit(".example/"),
+            first_word,
+            F.lit("-"),
+            F.col("doc_id").cast("string"),
+        )
+
+    base = docs.select(
+        _multihost_url_col().alias("url"), F.md5(F.col("text")).alias("body_md5")
+    )
+    mirror = docs.filter(F.col("lang") == "fr").select(
+        synth_url("mirror").alias("url"), F.md5(F.col("text")).alias("body_md5")
+    )
+    en = docs.filter(F.col("lang") == "en")
+    copied = en.filter(F.col("doc_id") % 5 == 0).select(
+        synth_url("copycat").alias("url"), F.md5(F.col("text")).alias("body_md5")
+    )
+    original = en.filter(F.col("doc_id") % 5 == 1).select(
+        synth_url("copycat").alias("url"),
+        F.md5(F.concat(F.col("text"), F.lit("x"))).alias("body_md5"),
+    )
+    pages = base.unionAll(mirror).unionAll(copied).unionAll(original)
+    return traps.detect_mirrors(pages, min_shared=5, overlap_x1000=800)
+
+
+def sql_host_mirrors():
+    def synth_url(prefix):
+        return (
+            f"('https://{prefix}.ex' || CAST(doc_id % 4 AS VARCHAR) "
+            "|| '.example/' || string_split(text, ' ')[1] || '-' || doc_id)"
+        )
+
+    return f"""
+        WITH pages AS (
+            SELECT {_MULTIHOST_URL_SQL} AS url, md5(text) AS body_md5
+            FROM documents
+            UNION ALL
+            SELECT {synth_url('mirror')} AS url, md5(text) AS body_md5
+            FROM documents WHERE lang = 'fr'
+            UNION ALL
+            SELECT {synth_url('copycat')} AS url, md5(text) AS body_md5
+            FROM documents WHERE lang = 'en' AND doc_id % 5 = 0
+            UNION ALL
+            SELECT {synth_url('copycat')} AS url, md5(text || 'x') AS body_md5
+            FROM documents WHERE lang = 'en' AND doc_id % 5 = 1),
+        hb AS (
+            SELECT DISTINCT lower(regexp_replace(
+                       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1),
+                       ':[0-9]+$', '')) AS host,
+                   body_md5 AS h
+            FROM pages),
+        per_host AS (
+            SELECT host, COUNT(*)::BIGINT AS n_bodies FROM hb GROUP BY host),
+        eligible AS (
+            SELECT h FROM hb GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 64),
+        hbe AS (SELECT hb.host, hb.h FROM hb JOIN eligible USING (h)),
+        shared AS (
+            SELECT a.host AS host_a, b.host AS host_b, COUNT(*)::BIGINT AS shared
+            FROM hbe a JOIN hbe b ON a.h = b.h AND a.host < b.host
+            GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        SELECT host_a, host_b, shared, n_a, n_b,
+               CAST((shared * 1000) // least(n_a, n_b) AS BIGINT)
+                   AS overlap_x1000,
+               ((shared * 1000) // least(n_a, n_b)) >= 800 AS is_mirror
+        FROM shared
+        JOIN (SELECT host AS host_a, n_bodies AS n_a FROM per_host) USING (host_a)
+        JOIN (SELECT host AS host_b, n_bodies AS n_b FROM per_host) USING (host_b)
+    """
+
+
 ANCHOR_TOPK = 3
 
 
@@ -3167,6 +3252,7 @@ REGISTRY: dict[str, tuple] = {
     "bpe_merges": (q_bpe_merges, sql_bpe_merges),
     "warc_cdx": (q_warc_cdx, sql_warc_cdx),
     "crawl_traps": (q_crawl_traps, sql_crawl_traps),
+    "host_mirrors": (q_host_mirrors, sql_host_mirrors),
     "anchor_texts": (q_anchor_texts, sql_anchor_texts),
     "bpe_encode_stats": (q_bpe_encode_stats, sql_bpe_encode_stats),
     "warc_revisit": (q_warc_revisit, sql_warc_revisit),
