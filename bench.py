@@ -93,6 +93,7 @@ HEADLINE = [
     "warc_cdx",
     "crawl_traps",
     "host_mirrors",
+    "feed_discover",
     "anchor_texts",
     "bpe_encode_stats",
     "warc_revisit",

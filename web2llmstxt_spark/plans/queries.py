@@ -2769,6 +2769,68 @@ def sql_host_mirrors():
     """
 
 
+def q_feed_discover(spark, sf_dir):
+    """RSS/Atom URL discovery (feeds.parse_feeds): per-host feed XML is
+    RENDERED inside Spark from documents (en hosts publish RSS 2.0 at
+    /feed.xml, fr hosts publish namespaced Atom at /atom.xml), then parsed
+    back by the mapInPandas kernel; the DuckDB twin computes the expected
+    (feed_url, url, title, published) rows directly — a render-parse round
+    trip proving the parser, the same oracle shape as robots_policies."""
+    from ..operators import feeds
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    sid = d.cast("string")
+    pub = F.concat(F.lit("2026-01-"), F.lpad(((d % 28) + 1).cast("string"), 2, "0"))
+
+    def blobs(lang, prefix, suffix, head, item, tail):
+        host = F.concat(F.lit(f"{prefix}.ex"), (d % 4).cast("string"), F.lit(".example"))
+        frag = F.format_string(item, *[c for c in [host, sid, sid, pub]])
+        per = docs.filter(F.col("lang") == lang).select(
+            host.alias("host"), frag.alias("frag")
+        )
+        return per.groupBy("host").agg(
+            F.concat_ws("", F.collect_list("frag")).alias("items")
+        ).select(
+            F.concat(F.lit("https://"), F.col("host"), F.lit(suffix)).alias("feed_url"),
+            F.concat(F.lit(head), F.col("items"), F.lit(tail)).alias("body"),
+        )
+
+    rss = blobs(
+        "en", "docs", "/feed.xml",
+        '<?xml version="1.0"?><rss version="2.0"><channel><title>c</title>',
+        "<item><link>https://%s/post-%s</link><title>Doc %s</title>"
+        "<pubDate>%s</pubDate></item>",
+        "</channel></rss>",
+    )
+    atom = blobs(
+        "fr", "blog", "/atom.xml",
+        '<feed xmlns="http://www.w3.org/2005/Atom"><title>c</title>',
+        '<entry><link rel="alternate" href="https://%s/post-%s"/>'
+        "<title>Doc %s</title><published>%s</published></entry>",
+        "</feed>",
+    )
+    return feeds.parse_feeds(rss.unionAll(atom))
+
+
+def sql_feed_discover():
+    def side(lang, prefix, suffix):
+        h = f"('{prefix}.ex' || CAST(doc_id % 4 AS VARCHAR) || '.example')"
+        return f"""
+            SELECT 'https://' || {h} || '{suffix}' AS feed_url,
+                   'https://' || {h} || '/post-' || doc_id AS url,
+                   'Doc ' || doc_id AS title,
+                   '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                       AS published
+            FROM documents WHERE lang = '{lang}'"""
+
+    return (
+        side("en", "docs", "/feed.xml")
+        + " UNION ALL "
+        + side("fr", "blog", "/atom.xml")
+    )
+
+
 ANCHOR_TOPK = 3
 
 
@@ -3253,6 +3315,7 @@ REGISTRY: dict[str, tuple] = {
     "warc_cdx": (q_warc_cdx, sql_warc_cdx),
     "crawl_traps": (q_crawl_traps, sql_crawl_traps),
     "host_mirrors": (q_host_mirrors, sql_host_mirrors),
+    "feed_discover": (q_feed_discover, sql_feed_discover),
     "anchor_texts": (q_anchor_texts, sql_anchor_texts),
     "bpe_encode_stats": (q_bpe_encode_stats, sql_bpe_encode_stats),
     "warc_revisit": (q_warc_revisit, sql_warc_revisit),
