@@ -107,3 +107,18 @@ def test_garbage_delay_ignored():
     for bad in ("inf", "1e400", "-inf", "fast", "nan"):
         got = robots.parse_robots_text(f"User-agent: *\nCrawl-delay: {bad}\n")
         assert got["crawl_delay_ms"] is None, bad
+
+
+def test_wild_crawl_delay_clamped_int32_safe(spark):
+    # ADVICE r4: 'Crawl-delay: 99999999999' -> would overflow int32 at the
+    # Arrow conversion; the parser clamps to 1 day.
+    parsed = robots.parse_robots_text(
+        "User-agent: *\nDisallow: /x\nCrawl-delay: 99999999999\n"
+    )
+    assert parsed["crawl_delay_ms"] == 86_400_000
+    df = spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /x\nCrawl-delay: 99999999999\n")],
+        "host string, robots_txt string",
+    )
+    rows = robots.parse_robots_df(df).collect()
+    assert rows and all(r["crawl_delay_ms"] == 86_400_000 for r in rows)

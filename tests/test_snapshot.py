@@ -71,3 +71,18 @@ def test_invalidation_feeds_cuckoo_delete(spark, snaps):
     assert probed["https://a.example/"] and probed["https://a.example/same"]
     assert not probed["https://a.example/docs"]
     assert not probed["https://a.example/gone"]
+
+
+def test_null_content_keys_by_row_not_nullability(spark):
+    # ADVICE r4: a URL present in both snapshots with null content on one
+    # side is CHANGED (or absent if both null), never removed+added.
+    v1 = spark.createDataFrame(
+        [("https://a.example/n", "body"), ("https://a.example/b", None)],
+        "url string, content string",
+    )
+    v2 = spark.createDataFrame(
+        [("https://a.example/n", None), ("https://a.example/b", None)],
+        "url string, content string",
+    )
+    out = {r.url: r.change for r in snapshot.snapshot_diff(v1, v2).collect()}
+    assert out == {"https://a.example/n": "changed"}

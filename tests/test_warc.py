@@ -92,3 +92,33 @@ def test_synth_blobs_deterministic_under_repartition(spark):
     }
     assert a == b  # archive bytes independent of upstream partitioning
     assert set(a) == {0, 1, 2, 3}
+
+
+def test_non_ascii_url_header_safe():
+    # ADVICE r4: an IDN/unicode URL must not UnicodeEncodeError the writer;
+    # the header carries the percent-encoded form, reserved chars untouched.
+    url = "https://ex.example/café?q=süß"
+    rec = warc.build_record(url, b"body")
+    assert b"WARC-Target-URI: https://ex.example/caf%C3%A9?q=s%C3%BC%C3%9F" in rec
+    parsed = list(warc.parse_warc(rec))
+    assert parsed[0]["url"] == "https://ex.example/caf%C3%A9?q=s%C3%BC%C3%9F"
+    # revisit records render through the same path
+    rev = warc.build_revisit_record(url, "0" * 32)
+    assert b"caf%C3%A9" in rev
+
+
+def test_write_archive_files_single_pass_and_stale_cleanup(spark, tmp_path):
+    out = str(tmp_path / "arch")
+    pages = spark.createDataFrame(
+        [(i, f"https://ex.example/p{i}", f"body {i}") for i in range(20)],
+        "rank long, url string, content string",
+    )
+    blobs = warc.pages_to_warc_blobs(pages, n_shards=4)
+    paths = warc.write_archive_files(blobs, out, prefix="crawl")
+    assert len(paths) == 4
+    # a later SMALLER run into the same dir must remove orphaned shards
+    small = warc.pages_to_warc_blobs(pages.limit(3), n_shards=1)
+    paths2 = warc.write_archive_files(small, out, prefix="crawl")
+    import glob as g
+    on_disk = sorted(g.glob(out + "/crawl-*.warc.gz"))
+    assert on_disk == sorted(paths2) and len(on_disk) == 1

@@ -39,8 +39,18 @@ def snapshot_diff(
     Both inputs must be unique on ``key_col`` (crawl snapshots are: the
     URL-seen set enforces it); a duplicated key would fan the join out.
     """
-    o = old.select(F.col(key_col).alias("k"), F.md5(content_col).alias("h_old"))
-    n = new.select(F.col(key_col).alias("k"), F.md5(content_col).alias("h_new"))
+    # md5(NULL) is NULL, and presence is decided by hash nullability below —
+    # coalesce so a URL whose body is null (a real shape: the pipeline
+    # coalesces null content elsewhere) keys by the ROW, not by content
+    # nullability, instead of misclassifying as removed+added.
+    o = old.select(
+        F.col(key_col).alias("k"),
+        F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias("h_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("k"),
+        F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias("h_new"),
+    )
     change = (
         F.when(F.col("h_old").isNull(), ADDED)
         .when(F.col("h_new").isNull(), REMOVED)

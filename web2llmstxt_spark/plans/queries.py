@@ -2159,8 +2159,8 @@ def sql_snapshot_diff():
             UNION ALL
             SELECT {u} || '/v2' AS url, text AS content
             FROM documents WHERE doc_id % {SNAP_ADD} = 0),
-        o AS (SELECT url, md5(content) AS h_old FROM v1),
-        n AS (SELECT url, md5(content) AS h_new FROM v2)
+        o AS (SELECT url, md5(coalesce(content, '')) AS h_old FROM v1),
+        n AS (SELECT url, md5(coalesce(content, '')) AS h_new FROM v2)
         SELECT coalesce(o.url, n.url) AS url,
                CASE WHEN h_old IS NULL THEN 'added'
                     WHEN h_new IS NULL THEN 'removed'
@@ -2657,8 +2657,9 @@ def sql_crawl_traps():
         WITH pages AS (
             SELECT {url} AS url, md5({body_key}) AS body_md5 FROM documents),
         proj AS (
-            SELECT lower(regexp_replace(
+            SELECT lower(regexp_replace(regexp_replace(
                        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1),
+                       '^[^/@]*@', ''),
                        ':[0-9]+$', '')) AS host,
                    url, body_md5,
                    CASE WHEN trim(regexp_extract(url,
@@ -2745,8 +2746,9 @@ def sql_host_mirrors():
             SELECT {synth_url('copycat')} AS url, md5(text || 'x') AS body_md5
             FROM documents WHERE lang = 'en' AND doc_id % 5 = 1),
         hb AS (
-            SELECT DISTINCT lower(regexp_replace(
+            SELECT DISTINCT lower(regexp_replace(regexp_replace(
                        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1),
+                       '^[^/@]*@', ''),
                        ':[0-9]+$', '')) AS host,
                    body_md5 AS h
             FROM pages),
@@ -3020,8 +3022,9 @@ def q_url_templates(spark, sf_dir):
 def sql_url_templates():
     u = _MULTIHOST_URL_SQL
     host = (
-        f"lower(regexp_replace(regexp_extract({u}, "
-        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1), ':[0-9]+$', ''))"
+        f"lower(regexp_replace(regexp_replace(regexp_extract({u}, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1), '^[^/@]*@', ''), "
+        "':[0-9]+$', ''))"
     )
     path = f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1)"
     template = (

@@ -38,6 +38,7 @@ from __future__ import annotations
 import gzip
 import hashlib
 import zlib
+from urllib.parse import quote
 from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame
@@ -86,6 +87,17 @@ def _record_id(url: str) -> str:
     return f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
 
 
+def _header_uri(url: str) -> str:
+    """WARC-Target-URI rendered header-safe: percent-encode every non-ASCII
+    (or otherwise header-illegal) octet while leaving all reserved URI
+    characters — and existing %-escapes — untouched. The crawl's
+    normalize_url does not percent-encode IDN hosts or unicode paths, and
+    WARC headers are rendered ``.encode('ascii')``; without this one café
+    URL would raise UnicodeEncodeError inside the executor and fail the
+    whole archive job."""
+    return quote(url, safe=":/?#[]@!$&'()*+,;=%")
+
+
 def build_record(
     url: str,
     payload: bytes,
@@ -112,7 +124,7 @@ def build_record(
         f"WARC-Type: response\r\n"
         f"WARC-Record-ID: {_record_id(url)}\r\n"
         f"WARC-Date: {date}\r\n"
-        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Target-URI: {_header_uri(url)}\r\n"
         f"Content-Type: application/http; msgtype=response\r\n"
         f"Content-Length: {len(http)}\r\n\r\n"
     ).encode("ascii")
@@ -486,7 +498,7 @@ def build_revisit_record(
         f"WARC-Type: revisit\r\n"
         f"WARC-Record-ID: {_record_id(url + '#revisit')}\r\n"
         f"WARC-Date: {date}\r\n"
-        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Target-URI: {_header_uri(url)}\r\n"
         f"WARC-Profile: {REVISIT_PROFILE}\r\n"
         f"WARC-Payload-Digest: md5:{payload_md5}\r\n"
         f"Content-Type: application/http; msgtype=response\r\n"
@@ -623,26 +635,33 @@ def pages_to_warc_blobs(
 def write_archive_files(blobs: DataFrame, out_dir: str, prefix: str = "crawl") -> list:
     """Write one ``<prefix>-<shard:05d>.warc.gz`` file per blob row.
 
-    Executor-side writes (foreachPartition) to a shared filesystem — the
-    local stand-in for an object-store put; each task writes only its own
-    shard files, no driver materialization of archive bytes. Returns the
-    sorted list of written paths (recomputed driver-side from shard ids,
-    which ARE the blob rows' keys)."""
+    Executor-side writes to a shared filesystem — the local stand-in for an
+    object-store put; each task writes only its own shard files, no driver
+    materialization of archive bytes. ONE evaluation of ``blobs``: the
+    write task yields the shard ids it published (mapPartitions + collect
+    of ints only), so the expensive groupBy/applyInPandas gzip plan never
+    runs twice. Stale ``<prefix>-*.warc.gz`` files from a prior larger run
+    are removed first so a later ``from-warc`` glob can't pick up orphaned
+    archives. Returns the sorted list of written paths."""
+    import glob as _glob
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    for stale in _glob.glob(os.path.join(out_dir, f"{prefix}-*.warc.gz")):
+        os.remove(stale)
     shard_rows = blobs.select("shard", "warc")
 
     def write_part(rows):
         for r in rows:
-            path = os.path.join(out_dir, f"{prefix}-{int(r['shard']):05d}.warc.gz")
+            shard = int(r["shard"])
+            path = os.path.join(out_dir, f"{prefix}-{shard:05d}.warc.gz")
             tmp = path + ".tmp"
             with open(tmp, "wb") as f:
                 f.write(bytes(r["warc"]))
             os.replace(tmp, path)  # atomic publish
+            yield shard
 
-    shard_rows.foreachPartition(write_part)
-    shards = [int(r["shard"]) for r in blobs.select("shard").collect()]
+    shards = shard_rows.rdd.mapPartitions(write_part).collect()
     return [
         os.path.join(out_dir, f"{prefix}-{s:05d}.warc.gz") for s in sorted(shards)
     ]
