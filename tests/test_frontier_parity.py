@@ -346,3 +346,110 @@ def test_trap_denylist_parity(spark):
     # and the denylist actually changed the crawl vs no-denylist
     base_res = crawl(corpus, CrawlConfig(max_pages=15))
     assert {p["url"] for p in base_res.pages} != {p["url"] for p in engine_pages}
+
+
+def test_join_robots_matches_oracle(spark):
+    """S6 r5 hot path: the broadcast-join rule-array matcher
+    (robots.with_robots_decision) must agree with oracle.robots_disallowed
+    on the same edge battery the WHEN-chain twin is held to — through BOTH
+    the broadcast and the shuffled-join carrier."""
+    from web2llmstxt_spark.operators import robots as robots_mod
+    from web2llmstxt_spark.oracle.crawl_oracle import robots_disallowed
+
+    corpus = generate_corpus(seed=31, n_hosts=2, pages_per_host=25)
+    rules_by_host = {}
+    for host, _agent, rule, prefix in corpus.robots_rules:
+        rules_by_host.setdefault(host, []).append((rule, prefix))
+    rules_by_host["edge.example"] = [
+        ("disallow", "/private/"),
+        ("allow", "/private/docs/"),
+        ("allow", "/dup"),
+        ("disallow", "/dup"),  # duplicate prefix: allow must win the tie
+    ]
+    urls = [u for u in corpus.pages] + [
+        "https://edge.example",
+        "https://edge.example/",
+        "https://edge.example?page=2",
+        "https://edge.example/private/x",
+        "https://edge.example/private/docs/x",
+        "https://edge.example/dup/inside",
+        "https://EDGE.example/private/y",
+        "https://nohost.example/anything",  # host with no rules -> allowed
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rules_df = robots_mod.rules_array_from_list(spark, rules_by_host)
+    for bc in (True, False):
+        got = {
+            r.url: r.disallowed
+            for r in robots_mod.with_robots_decision(df, rules_df, broadcast=bc).collect()
+        }
+        for u in urls:
+            assert got[u] == robots_disallowed(u, rules_by_host), (bc, u)
+
+
+def test_join_robots_many_hosts(spark):
+    """The join carrier at the scale the closure dict could not survive:
+    10^4 hosts x 5 rules (5x the old NATIVE_ROBOTS_MAX_RULES=512 WHEN-chain
+    gate PER HOST GROUP, 100x total). Decisions must match the oracle on a
+    deterministic URL sample hitting allowed, disallowed, tie, and
+    rule-less hosts."""
+    from web2llmstxt_spark.operators import robots as robots_mod
+    from web2llmstxt_spark.oracle.crawl_oracle import robots_disallowed
+
+    n_hosts = 10_000
+    rules_by_host = {
+        f"h{i}.example": [
+            ("disallow", "/private"),
+            ("allow", "/private/ok"),
+            ("disallow", f"/sec{i % 7}"),
+            ("allow", "/"),
+            ("disallow", "/"),  # tie with allow: allow wins
+        ]
+        for i in range(n_hosts)
+    }
+    rules_df = robots_mod.rules_array_from_list(spark, rules_by_host)
+    urls = []
+    for i in range(0, n_hosts, 97):  # deterministic stride sample
+        urls += [
+            f"https://h{i}.example/private/x",
+            f"https://h{i}.example/private/ok/y",
+            f"https://h{i}.example/sec{i % 7}/z",
+            f"https://h{i}.example/public",
+            f"https://missing{i}.example/private/x",
+        ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r.url: r.disallowed
+        for r in robots_mod.with_robots_decision(df, rules_df).collect()
+    }
+    assert len(got) == len(urls)
+    for u in urls:
+        assert got[u] == robots_disallowed(u, rules_by_host), u
+    # the enforcement wrapper drops exactly the disallowed rows
+    kept = {
+        r.url for r in robots_mod.enforce_robots_join(df, rules_df).collect()
+    }
+    assert kept == {u for u in urls if not robots_disallowed(u, rules_by_host)}
+
+
+def test_robots_mode_three_way_crawl_parity(spark):
+    """The full crawl is invariant across the three S6 carriers (join =
+    default hot path, native WHEN chain, pandas-UDF oracle twin): identical
+    page sequence and seen set."""
+    from web2llmstxt_spark import schemas as _schemas
+
+    corpus = generate_corpus(seed=17, n_hosts=2, pages_per_host=25)
+    cfg = CrawlConfig(max_pages=12, enforce_robots=True)
+    site = spark.createDataFrame(corpus.site_pages_rows(), _schemas.SITE_PAGES).cache()
+    seeds = [(sid, url) for sid, url, _ in corpus.seeds]
+    results = {}
+    for mode in ("join", "native", "udf"):
+        eng = FrontierCrawler(
+            spark, site, cfg, robots_rules=corpus.robots_rules, robots_mode=mode
+        )
+        pages_df, seen_df = eng.crawl(seeds)
+        results[mode] = (
+            [tuple(r[f] for f in PAGE_FIELDS) for r in pages_df.orderBy("rank").collect()],
+            {r.url for r in seen_df.collect()},
+        )
+    assert results["join"] == results["native"] == results["udf"]

@@ -292,6 +292,7 @@ class FrontierCrawler:
         run_id: str = "run",
         fetcher=None,
         salt_hosts: dict[str, int] | None = None,
+        robots_mode: str = "join",
     ):
         self.spark = spark
         self.cfg = cfg
@@ -336,10 +337,34 @@ class FrontierCrawler:
         self.bloom_rebuilds = 0
         self.bloom_deltas = 0
         self._bloom_rebuild_pending = False
+        # S6 enforcement carrier (r5, scale-safe default): 'join' keeps
+        # policies as a per-host rule-array DataFrame broadcast-joined to
+        # candidates with a Column-algebra longest-prefix decision — no
+        # driver dict in task closures, no per-rule plan growth, works at
+        # 10^6+ hosts. 'native' (compiled WHEN chain) and 'udf' (pandas
+        # closure) remain as bounded-ruleset parity twins of the same
+        # semantics (test_frontier_parity exercises all three).
+        if robots_mode not in ("join", "native", "udf"):
+            raise ValueError(f"robots_mode must be join|native|udf, got {robots_mode!r}")
+        self.robots_mode = robots_mode
         self.rules_by_host: dict = {}
+        self._robots_rules_df: DataFrame | None = None
+        self._robots_broadcastable = True
         if cfg.enforce_robots and robots_rules:
             for host, _agent, rule, prefix in robots_rules:
                 self.rules_by_host.setdefault(host, []).append((rule, prefix))
+            if robots_mode == "join":
+                from . import robots as _robots
+
+                n_rules = sum(len(r) for r in self.rules_by_host.values())
+                self._robots_broadcastable = (
+                    n_rules <= _robots.ROBOTS_BROADCAST_MAX_RULES
+                )
+                # tiny per-host table, cached once: every superstep's join
+                # reuses the aggregated arrays instead of re-running the agg
+                self._robots_rules_df = _robots.rules_array_from_list(
+                    spark, self.rules_by_host
+                ).cache()
 
     # ------------------------------------------------------------------ utils
     def _with_host(self, df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -786,15 +811,27 @@ class FrontierCrawler:
                 )
             cand = cand.filter(F.col("score") > F.lit(cfg.score_threshold))  # :218
             if cfg.enforce_robots and self.rules_by_host:
-                from ..functions import native
+                if self.robots_mode == "join" and self._robots_rules_df is not None:
+                    # hot path: broadcast-joined per-host rule arrays +
+                    # Column-algebra longest-prefix decision — the carrier
+                    # that survives 10^6+ hosts (no closure capture, no
+                    # WHEN-chain plan growth)
+                    from . import robots as _robots
 
-                n_rules = sum(len(r) for r in self.rules_by_host.values())
-                if self.use_native_scorer and n_rules <= native.NATIVE_ROBOTS_MAX_RULES:
-                    # hot path: compiled WHEN chain, no Python boundary
+                    cand = _robots.enforce_robots_join(
+                        cand,
+                        self._robots_rules_df,
+                        broadcast=self._robots_broadcastable,
+                    )
+                elif self.robots_mode == "native":
+                    from ..functions import native
+
+                    # parity twin: compiled WHEN chain (bounded rulesets)
                     cand = cand.filter(
                         ~native.robots_disallowed_native(F.col("url"), self.rules_by_host)
                     )
                 else:
+                    # parity twin: the oracle's own matcher as a pandas UDF
                     cand = cand.filter(~_robots_match_udf(self.rules_by_host)(F.col("url")))
             if cfg.deny_hosts:
                 # trap-host denylist (operators/traps): enforcement is a

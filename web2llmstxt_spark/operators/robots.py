@@ -189,3 +189,117 @@ def crawl_delay_to_caps(policies: DataFrame, superstep_seconds: float) -> dict:
     for r in rows:
         caps[r["host"]] = max(1, int(superstep_seconds * 1000 // r["d"]))
     return caps
+
+
+# ------------------------------------------------- scale-safe enforcement
+#
+# The frontier's original enforcement shipped rules_by_host as a driver-side
+# dict inside UDF closures (with a compiled WHEN chain below 512 rules).
+# Fine at corpus scale; at a 10^10-URL frontier with 10^6+ hosts the dict
+# serializes into every task and the WHEN-chain gate stops applying. The
+# scalable carrier is a JOIN: keep policies as a DataFrame, pre-aggregate to
+# ONE row per host holding its (tiny) rule array, broadcast-join candidates
+# on host, and decide longest-prefix/allow-on-tie with Column algebra over
+# the array — no Python boundary, no closure capture, no per-rule plan
+# growth. Above ROBOTS_BROADCAST_MAX_RULES the join falls back to a shuffled
+# hash/sort-merge join on host (AQE), which is exactly the right shape when
+# the policies table itself is too big to broadcast.
+
+#: above this many total rules the policies side is no longer broadcast —
+#: ~1e6 rules ≈ tens of MB serialized; past that let AQE pick a shuffled join
+ROBOTS_BROADCAST_MAX_RULES = 1_000_000
+
+
+def rules_array_df(policies: DataFrame) -> DataFrame:
+    """Policies table -> one row per host: (host, robots_rules) where
+    robots_rules is array<struct<l:int,a:int,p:string>> (prefix length,
+    allow flag, prefix). The struct field ORDER is the decision order:
+    ``array_max`` over matched elements picks max prefix length first, then
+    allow (a=1) over disallow (a=0) — i.e. longest-prefix wins, ties prefer
+    allow, the exact oracle.robots_disallowed semantics."""
+    return (
+        policies.filter(F.col("rule").isin("allow", "disallow"))
+        .select(
+            F.lower(F.col("host")).alias("host"),
+            F.struct(
+                F.length("path_prefix").cast("int").alias("l"),
+                (F.col("rule") == "allow").cast("int").alias("a"),
+                F.col("path_prefix").alias("p"),
+            ).alias("r"),
+        )
+        .groupBy("host")
+        .agg(F.collect_list("r").alias("robots_rules"))
+    )
+
+
+def rules_array_from_list(spark, rules_by_host: dict) -> DataFrame:
+    """Oracle-twin constructor: the same per-host array table built from the
+    {host: [(rule, prefix), ...]} dict the legacy closure paths consume."""
+    rows = [
+        (host, rule, prefix, None)
+        for host, rules in rules_by_host.items()
+        for rule, prefix in rules
+    ]
+    return rules_array_df(spark.createDataFrame(rows, POLICY_SCHEMA))
+
+
+def with_robots_decision(
+    cand: DataFrame,
+    rules_df: DataFrame,
+    url_col: str = "url",
+    broadcast: bool = True,
+    out_col: str = "disallowed",
+) -> DataFrame:
+    """Annotate every row with the join-carried robots decision.
+
+    One left join on host (broadcast when ``broadcast``) + pure Column
+    algebra: materialize the URL path once (no CSE inside HOF lambdas —
+    measured), filter the host's rule array to matching prefixes, take
+    ``array_max`` (longest prefix, allow on tie), flag the row when the
+    winner is a disallow. Hosts absent from ``rules_df`` (null array) and
+    candidates matching no prefix fall through as allowed, like the oracle.
+
+    Host identity is lower(parse_url HOST), path coalesces '' -> '/' —
+    identical to native.robots_disallowed_native so the three
+    implementations (join / WHEN chain / pandas-UDF oracle) stay
+    interchangeable parity twins.
+    """
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    p = F.parse_url(F.col(url_col), F.lit("PATH"))
+    path = F.when(p.isNull() | (p == ""), F.lit("/")).otherwise(p)
+    right = rules_df.withColumnRenamed("host", "__rhost")
+    if broadcast:
+        right = F.broadcast(right)
+    joined = (
+        cand.withColumn("__rhost", host)
+        .withColumn("__rpath", path)
+        .join(right, "__rhost", "left")
+    )
+    matched = F.filter(
+        F.col("robots_rules"), lambda r: F.col("__rpath").startswith(r["p"])
+    )
+    best = F.array_max(matched)
+    # single reference to `best` (no CSE in Catalyst: a second reference
+    # would re-run array_max(filter(...)) per row): null best (no host row
+    # or no matching prefix) coalesces to allowed
+    disallowed = F.coalesce(best["a"] == F.lit(0), F.lit(False))
+    return joined.withColumn(out_col, disallowed).drop(
+        "__rhost", "__rpath", "robots_rules"
+    )
+
+
+def enforce_robots_join(
+    cand: DataFrame,
+    rules_df: DataFrame,
+    url_col: str = "url",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Drop disallowed candidate rows (`with_robots_decision` + filter) —
+    the frontier's S6 hot-path carrier since r5."""
+    return (
+        with_robots_decision(
+            cand, rules_df, url_col=url_col, broadcast=broadcast, out_col="__rdeny"
+        )
+        .filter(~F.col("__rdeny"))
+        .drop("__rdeny")
+    )

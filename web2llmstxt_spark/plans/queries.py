@@ -1615,19 +1615,21 @@ ROBOTS_RULES_FIXED = {
 
 
 def q_robots_filter(spark, sf_dir):
-    """S6 on the driver surface: the ENGINE's compiled robots matcher
-    (native.robots_disallowed_native — the frontier hot-path filter since r4)
-    evaluated over the synth URL corpus against a fixed overlapping ruleset;
-    returns every URL with its decision so the value hash covers allowed AND
-    disallowed outcomes, plus the post-filter candidate count semantics via
-    the kept flag. Ref: north-rule robots extension; oracle twin is the same
-    first-match CASE compiled for DuckDB."""
+    """S6 on the driver surface: the ENGINE's robots matcher via the r5
+    hot-path carrier — per-host rule arrays broadcast-joined to the URL set
+    with the Column-algebra longest-prefix decision
+    (robots.with_robots_decision, the exact plan the frontier superstep
+    runs) — evaluated over the synth URL corpus against a fixed overlapping
+    ruleset; returns every URL with its decision so the value hash covers
+    allowed AND disallowed outcomes. Ref: north-rule robots extension;
+    oracle twin is the equivalent first-match CASE compiled for DuckDB (the
+    WHEN-chain twin of the same semantics)."""
+    from ..operators import robots as robots_mod
+
     docs = load(spark, sf_dir, "documents")
     u = docs.select(synth_url_col().alias("url"))
-    return u.select(
-        "url",
-        native.robots_disallowed_native(F.col("url"), ROBOTS_RULES_FIXED).alias("disallowed"),
-    )
+    rules_df = robots_mod.rules_array_from_list(spark, ROBOTS_RULES_FIXED)
+    return robots_mod.with_robots_decision(u, rules_df).select("url", "disallowed")
 
 
 def sql_robots_filter():
