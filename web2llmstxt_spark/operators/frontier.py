@@ -261,20 +261,15 @@ class ClosedFormFetcher:
         return _fetch_post(cand.mapInPandas(gen, out_schema))
 
 
-class HttpFetcher:
-    """Production fetch path: per-partition HTTP via mapInPandas with
-    UDF-internal retry (ref T5 urllib3 Retry, crawler/web_crawler.py:832-839)
-    and per-host pacing. Network is unavailable in this sandbox — the
-    transport is a stub; the Spark-side plumbing (batch shape, schema,
-    politeness gating upstream) is the real design."""
+def HttpFetcher(*args, **kwargs):
+    """Production fetch path (S2): real stdlib-urllib HTTP transport via
+    mapInPandas with UDF-internal retry — implemented in
+    sources/httpfetch.py (kept there with its HTML round-trip kernels and
+    the loopback CorpusHTTPServer the byte-parity tests crawl against).
+    This constructor is the back-compatible entry point at the old name."""
+    from ..sources.httpfetch import HttpFetcher as _Impl
 
-    def fetch(self, cand: DataFrame) -> DataFrame:  # pragma: no cover
-        raise NotImplementedError(
-            "HTTP transport unavailable in sandbox; use TableFetcher. "
-            "Production: cand.mapInPandas(fetch_batch, schema) with "
-            "requests.Session + Retry(total=3, backoff_factor=1, "
-            "status_forcelist=[429,500,502,503,504])."
-        )
+    return _Impl(*args, **kwargs)
 
 
 class FrontierCrawler:
