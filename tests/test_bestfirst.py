@@ -122,7 +122,8 @@ def test_pipeline_bestfirst_dispatch(spark, tmp_path):
     base = corpus.seeds[0][1]
     site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
     res = generate_llmstxt(
-        spark, site, base, str(tmp_path), max_pages=10, crawl_strategy="bestfirst"
+        spark, site, base, str(tmp_path), max_pages=10,
+        crawl_strategy="bestfirst", collect_entries=True,
     )
     assert res["metadata"]["crawl_strategy_used"] == "bestfirst"
     oracle = crawl_bestfirst(corpus, base, max_pages=10, batch_size=10)
@@ -187,6 +188,7 @@ def test_pipeline_auto_batch_large_budget(spark, tmp_path, monkeypatch):
     res = generate_llmstxt(
         spark, site, base, str(tmp_path), max_pages=budget,
         crawl_strategy="bestfirst", bestfirst_batch_size="auto",
+        collect_entries=True,
     )
     eng = captured["engine"]
     assert eng.batch_size == bf_mod.auto_batch_size(budget) == 625

@@ -45,12 +45,16 @@ def test_second_run_computes_zero_descriptions(spark, tmp_path):
     site = _site(spark, corpus)
     cache_dir = str(tmp_path / "desc_cache")
 
-    r_nocache = generate_llmstxt(spark, site, base, str(tmp_path / "o0"), max_pages=8)
+    r_nocache = generate_llmstxt(
+        spark, site, base, str(tmp_path / "o0"), max_pages=8, collect_entries=True
+    )
     r1 = generate_llmstxt(
-        spark, site, base, str(tmp_path / "o1"), max_pages=8, desc_cache_dir=cache_dir
+        spark, site, base, str(tmp_path / "o1"), max_pages=8,
+        desc_cache_dir=cache_dir, collect_entries=True
     )
     r2 = generate_llmstxt(
-        spark, site, base, str(tmp_path / "o2"), max_pages=8, desc_cache_dir=cache_dir
+        spark, site, base, str(tmp_path / "o2"), max_pages=8,
+        desc_cache_dir=cache_dir, collect_entries=True
     )
     assert r1["desc_cache_new"] == len(r1["entries"]) > 0  # cold: all computed
     assert r2["desc_cache_new"] == 0                       # warm: zero computed
@@ -68,7 +72,8 @@ def test_content_change_invalidates_entry(spark, tmp_path):
     cache_dir = str(tmp_path / "cache")
 
     r1 = generate_llmstxt(
-        spark, site, base, str(tmp_path / "a"), max_pages=6, desc_cache_dir=cache_dir
+        spark, site, base, str(tmp_path / "a"), max_pages=6,
+        desc_cache_dir=cache_dir, collect_entries=True
     )
     # mutate ONE crawled page's first span text (changes content[:1000])
     target = r1["entries"][0]["url"]
@@ -88,7 +93,8 @@ def test_content_change_invalidates_entry(spark, tmp_path):
         ).otherwise(F.col("spans")),
     )
     r2 = generate_llmstxt(
-        spark, mutated, base, str(tmp_path / "b"), max_pages=6, desc_cache_dir=cache_dir
+        spark, mutated, base, str(tmp_path / "b"), max_pages=6,
+        desc_cache_dir=cache_dir, collect_entries=True
     )
     # exactly ONE page recomputes (the edit); every unedited page is a hit
     assert r2["desc_cache_new"] == 1
@@ -159,7 +165,7 @@ def test_injected_describe_fn_reaches_entries(spark, tmp_path):
     site = _site(spark, corpus)
     r = generate_llmstxt(
         spark, site, base, str(tmp_path / "ai0"), max_pages=6,
-        describe_fn=_make_fake_model(),
+        describe_fn=_make_fake_model(), collect_entries=True,
     )
     assert len(r["entries"]) > 0
     for e in r["entries"]:
@@ -178,10 +184,12 @@ def test_injected_model_sees_only_cache_misses(spark, tmp_path):
     r1 = generate_llmstxt(
         spark, site, base, str(tmp_path / "ai1"), max_pages=6,
         desc_cache_dir=cache_dir, describe_fn=_make_fake_model(),
+        collect_entries=True,
     )
     r2 = generate_llmstxt(
         spark, site, base, str(tmp_path / "ai2"), max_pages=6,
         desc_cache_dir=cache_dir, describe_fn=_make_fake_model(),
+        collect_entries=True,
     )
     assert r1["desc_cache_new"] == len(r1["entries"]) > 0
     assert r2["desc_cache_new"] == 0

@@ -75,6 +75,7 @@ def test_full_pipeline_end_to_end(spark, tmp_path):
         str(tmp_path),
         max_pages=6,
         generated_at="2026-08-16T00:00:00",
+        collect_entries=True,
     )
     (path,) = result["paths"]
     text = open(path, encoding="utf-8").read()

@@ -55,7 +55,7 @@ def test_pipeline_llms_txt_bytes_match_legacy_render(spark, tmp_path):
     site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
     result = pipeline.generate_llmstxt(
         spark, site, "https://ex0.example/", str(tmp_path), max_pages=6,
-        generated_at="2026-08-16T00:00:00",
+        generated_at="2026-08-16T00:00:00", collect_entries=True,
     )
     (path,) = result["paths"]
     got = open(path, encoding="utf-8").read()
@@ -161,7 +161,8 @@ def test_llms_txt_stream_no_entry_collect(spark, tmp_path):
     site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
     kw = dict(max_pages=6, generated_at="2026-08-16T00:00:00")
     ref = pipeline.generate_llmstxt(
-        spark, site, "https://ex0.example/", str(tmp_path / "collected"), **kw
+        spark, site, "https://ex0.example/", str(tmp_path / "collected"),
+        collect_entries=True, **kw
     )
     got = pipeline.generate_llmstxt(
         spark, site, "https://ex0.example/", str(tmp_path / "streamed"),
@@ -247,7 +248,7 @@ def test_all_formats_honor_no_entry_collect(spark, tmp_path):
     for fmt, style in (("json", "v2"), ("yaml", "v2"), ("text", "v1")):
         ref = pipeline.generate_llmstxt(
             spark, site, "https://ex0.example/", str(tmp_path / f"{fmt}{style}_c"),
-            export_format=fmt, output_style=style, **kw
+            export_format=fmt, output_style=style, collect_entries=True, **kw
         )
         got = pipeline.generate_llmstxt(
             spark, site, "https://ex0.example/", str(tmp_path / f"{fmt}{style}_s"),
@@ -266,3 +267,25 @@ def test_all_formats_honor_no_entry_collect(spark, tmp_path):
             a = open(ref["paths"][0], encoding="utf-8").read()
             b = open(got["paths"][0], encoding="utf-8").read()
             assert a == b
+
+
+def test_default_path_is_streaming(spark, tmp_path):
+    """r5: collect_entries defaults to FALSE — the plain call (what users
+    get at scale) forms no O(pages) driver list and still writes the exact
+    bytes of the collected run."""
+    corpus = generate_corpus(seed=31, n_hosts=1, pages_per_host=25)
+    site = spark.createDataFrame(corpus.site_pages_rows(), schemas.SITE_PAGES).cache()
+    kw = dict(max_pages=6, generated_at="2026-08-16T00:00:00")
+    default = pipeline.generate_llmstxt(
+        spark, site, "https://ex0.example/", str(tmp_path / "default"), **kw
+    )
+    assert default["entries"] is None and default["pages"] is None
+    collected = pipeline.generate_llmstxt(
+        spark, site, "https://ex0.example/", str(tmp_path / "collected2"),
+        collect_entries=True, **kw
+    )
+    assert (
+        open(default["paths"][0], "rb").read()
+        == open(collected["paths"][0], "rb").read()
+    )
+    assert default["metadata"]["total_entries_processed"] == len(collected["entries"])

@@ -126,6 +126,7 @@ def test_pipeline_sitemap_strategy_from_raw_xml(spark, tmp_path):
         spark, site, base, str(tmp_path), max_pages=10,
         crawl_strategy="sitemap", sitemap_blobs=blobs,
         robots_text=f"User-agent: *\nSitemap: {base.rstrip('/')}/sitemap.xml\n",
+        collect_entries=True,
     )
     assert res["metadata"]["crawl_strategy_used"] == "sitemap"
     assert 0 < len(res["pages"]) <= 10

@@ -47,7 +47,7 @@ def test_warc_distill_end_to_end(spark, tmp_path):
     out = tmp_path / "out"
     res = generate_llmstxt_from_warc(
         spark, str(tmp_path) + "/*.warc.gz", BASE, str(out),
-        generated_at="2026-01-01T00:00:00+00:00",
+        generated_at="2026-01-01T00:00:00+00:00", collect_entries=True,
     )
     # 404 and non-text/* records are filtered; 3 pages distill
     assert res["metadata"]["total_pages_crawled"] == 3
@@ -116,6 +116,7 @@ def test_crawl_archive_replay(spark, tmp_path):
     res = generate_llmstxt(
         spark, site, base, str(tmp_path / "out1"), max_pages=8,
         warc_out=str(arc_dir), generated_at="2026-01-01T00:00:00+00:00",
+        collect_entries=True,
     )
     paths = res["metadata"]["warc_paths"]
     assert paths and all(p.endswith(".warc.gz") for p in paths)
@@ -130,7 +131,7 @@ def test_crawl_archive_replay(spark, tmp_path):
     # replay: distill straight from the archive, no crawl, no site table
     res2 = generate_llmstxt_from_warc(
         spark, str(arc_dir) + "/*", base, str(tmp_path / "out2"),
-        generated_at="2026-01-01T00:00:00+00:00",
+        generated_at="2026-01-01T00:00:00+00:00", collect_entries=True,
     )
     assert {p["url"] for p in res2["pages"]} == crawled
     assert res2["metadata"]["total_pages_crawled"] == len(crawled)

@@ -193,8 +193,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps({
                 "paths": res["paths"],
-                "pages": len(res["pages"]),
-                "entries": len(res["entries"]),
+                "pages": res["metadata"]["total_pages_crawled"],
+                "entries": res["metadata"]["total_entries_processed"],
                 "strategy": res["metadata"]["crawl_strategy_used"],
                 "processing_time_seconds":
                     res["metadata"]["processing_time_seconds"],
@@ -249,8 +249,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({
             "paths": res["paths"],
-            "pages": len(res["pages"]),
-            "entries": len(res["entries"]),
+            "pages": res["metadata"]["total_pages_crawled"],
+            "entries": res["metadata"]["total_entries_processed"],
             "strategy": res["metadata"]["crawl_strategy_used"],
             "processing_time_seconds": res["metadata"]["processing_time_seconds"],
         }))

@@ -44,7 +44,7 @@ def generate_llmstxt(
     robots_text: str | None = None,
     root_sitemaps: list[str] | None = None,
     output_style: str = "v2",
-    collect_entries: bool = True,
+    collect_entries: bool = False,
     seen_filter: str = "bloom",
     describe_fn=None,
     warc_out: str | None = None,
@@ -56,9 +56,15 @@ def generate_llmstxt(
     None keeps the shipped v2 deterministic fallback. Composes with
     ``desc_cache_dir`` so only cache misses reach the model.
 
-    ``collect_entries=False`` keeps the ENTIRE v2 text path O(1) on the
-    driver: llms.txt streams category-grouped from toLocalIterator, and
-    result['entries'] / result['pages'] are None instead of O(pages) lists.
+    ``collect_entries=False`` (the DEFAULT since r5 — every sink streams
+    byte-identically, so the O(1)-driver path is what users get at scale)
+    keeps the ENTIRE text path O(1) on the driver: llms.txt streams
+    category-grouped from toLocalIterator, json/yaml/v1 stream
+    index-ordered, and result['entries'] / result['pages'] are None instead
+    of O(pages) lists (use metadata['total_pages_crawled'] /
+    ['total_entries_processed'] for counts). Pass ``collect_entries=True``
+    only when the caller actually wants the bounded per-page summary lists
+    (small crawls, tests).
     (json/yaml/v1 formats still need the collected list and ignore False.)
 
     ``crawl_strategy`` mirrors the reference dispatch (v1 generator/
@@ -148,7 +154,7 @@ def distill_to_output(
     desc_cache_dir: str | None = None,
     describe_fn=None,
     output_style: str = "v2",
-    collect_entries: bool = True,
+    collect_entries: bool = False,
     crawl_strategy_label: str = "systematic",
     generated_at: str | None = None,
     start_time: float | None = None,
