@@ -301,3 +301,19 @@ def test_exact_quantiles_matches_python_spec(spark):
     assert got == {p: spec(p) for p in ps}
     assert got[1] == min(vals) and got[10000] == max(vals)
     assert math.ceil(2500 * len(sv) / 10000) == 3 and got[2500] == sv[2]
+
+
+def test_exact_quantiles_guards_wide_domains(spark):
+    """r4 verdict #6: a high-cardinality column must raise before the
+    unpartitioned cumulative window, not silently single-partition-sort."""
+    from web2llmstxt_spark.operators import textstats
+
+    wide = spark.range(500).select((F.col("id") * 7919).alias("x"))
+    with pytest.raises(ValueError, match="distinct"):
+        textstats.exact_quantiles(wide, "x", max_distinct=100)
+    # opting out still works, and the guarded default passes small domains
+    ok = {
+        r["p_bp"]: r["value"]
+        for r in textstats.exact_quantiles(wide, "x", max_distinct=None).collect()
+    }
+    assert ok[5000] == 249 * 7919

@@ -271,8 +271,14 @@ def lm_xent_sql(text_expr: str, id_expr: str, from_table: str) -> str:
 QUANTILES_BP = (2500, 5000, 7500, 9000, 9900)
 
 
+#: exact_quantiles refuses domains wider than this (see its docstring) —
+#: a 10^6-row single-partition cumulative window is the accepted ceiling
+EXACT_QUANTILES_MAX_DISTINCT = 1_000_000
+
+
 def exact_quantiles(
-    df: DataFrame, value_col: str, ps_bp=QUANTILES_BP
+    df: DataFrame, value_col: str, ps_bp=QUANTILES_BP,
+    max_distinct: int | None = EXACT_QUANTILES_MAX_DISTINCT,
 ) -> DataFrame:
     """EXACT distributed percentiles of an integer-valued column — the
     deterministic replacement for approxQuantile when the answer feeds a
@@ -287,7 +293,11 @@ def exact_quantiles(
     window then runs over the DISTINCT-value histogram only. That single-
     partition window is the deliberate trade: exact quantiles of a column
     with a SMALL value domain (token counts, depths, status codes). For
-    unbounded domains, bucket first or use a mergeable sketch instead.
+    unbounded domains, bucket first or use a mergeable sketch instead —
+    and that contract is now ENFORCED (r4 verdict #6): the distinct-value
+    count is checked before the window and a too-wide domain raises
+    instead of silently single-partition-sorting it (``max_distinct=None``
+    opts out for callers that know better).
 
     Output: (p_bp:int, value:bigint), one row per requested percentile.
     """
@@ -296,6 +306,18 @@ def exact_quantiles(
     hist = df.groupBy(F.col(value_col).cast("long").alias("val")).agg(
         F.count("*").alias("cnt")
     )
+    if max_distinct is not None:
+        hist = hist.cache()  # histogram is guarded-small; reused by the window
+        n_distinct = hist.count()
+        if n_distinct > max_distinct:
+            hist.unpersist()
+            raise ValueError(
+                f"exact_quantiles: {value_col!r} has {n_distinct} distinct "
+                f"values (> max_distinct={max_distinct}); the cumulative "
+                "window would single-partition-sort the whole domain. "
+                "Bucketize the column first (e.g. floor(val/width)) or use "
+                "a mergeable sketch; pass max_distinct=None to force."
+            )
     w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(
         "val",
