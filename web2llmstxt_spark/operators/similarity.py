@@ -204,6 +204,35 @@ def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
     return sims.groupBy(id_col).agg(F.max_by("cid", F.struct("csim", (-F.col("cid")).alias("t"))).alias("cid"))
 
 
+def ivf_assign_multi(df: DataFrame, centroids: list[tuple[int, list[float]]],
+                     nprobe: int = 2, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Top-``nprobe`` coarse assignment: one (id, cid) row per probed list,
+    rank 1 = the primary (argmax) cluster. Same broadcast cross + window
+    shape as ivf_assign; the fan-out is exactly nprobe rows per vector.
+
+    This is the standard IVF recall lever applied to DEDUP pairing: a
+    near-dup pair split by a cluster boundary (the 19/20 sf0.01 semdedup
+    miss) still co-occurs in some probed list when either member's nprobe
+    sets overlap — the pair join sees them, at nprobe x pair-join cost,
+    never all-pairs."""
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in centroids],
+        "cid int, cvec array<double>",
+    )
+    crossed = df.select(id_col, vec_col).crossJoin(F.broadcast(cent_df))
+    sims = crossed.select(
+        id_col, "cid", cosine_sim(F.col(vec_col), F.col("cvec")).alias("csim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        sims.withColumn("__pr", F.row_number().over(w))
+        .filter(F.col("__pr") <= nprobe)
+        .select(id_col, "cid", F.col("__pr").alias("probe_rank"))
+    )
+
+
 def ivf_centroids(df: DataFrame, nlist: int = 16, vec_col: str = "embedding",
                   id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
     """Deterministic centroid pick: the nlist lowest-id vectors (a fixed
@@ -394,6 +423,7 @@ def semdedup(
     id_col: str = "vec_id",
     centroids: list[tuple[int, list[float]]] | None = None,
     max_cluster: int | None = MAX_CLUSTER_SEMDEDUP,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     cluster embeddings with a coarse quantizer, then WITHIN each cluster drop
@@ -413,12 +443,27 @@ def semdedup(
     ``max_cluster`` caps hot clusters by id order; overflow members are kept
     unexamined (recall loss only, never a false drop).
 
+    ``nprobe > 1`` (r5): pair generation runs over each vector's top-nprobe
+    clusters (ivf_assign_multi) instead of only its argmax cluster — the
+    assignment-boundary misses of a coarse quantizer (a copy landing one
+    cluster over from its source) co-occur in a probed list and get caught,
+    at nprobe x pair-join cost. The DROP rule and the reported ``cid``
+    (primary assignment) are unchanged, so nprobe can only drop MORE true
+    near-dups, never fewer and never a false drop — recall-gated in
+    tests/test_oracle_queries.py (planted copies, sf0.01 + sf0.1).
+
     Output: kept rows (id_col, cid) — anti-join of the dropped set.
     """
     if centroids is None:
         centroids = ivf_centroids(df, nlist, vec_col, id_col)
     assigned = ivf_assign(df, centroids, vec_col, id_col)  # (id, cid)
-    withc = df.select(id_col, vec_col).join(assigned, id_col)
+    if nprobe > 1:
+        pairing = ivf_assign_multi(
+            df, centroids, nprobe, vec_col, id_col
+        ).select(id_col, "cid")
+    else:
+        pairing = assigned
+    withc = df.select(id_col, vec_col).join(pairing, id_col)
     if max_cluster is not None:
         w = Window.partitionBy("cid").orderBy(F.asc(id_col))
         examined = (
