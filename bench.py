@@ -170,21 +170,32 @@ def main() -> None:
     best = {k: min(r[k] for r in runs) for k in runs[0]}
     spread = {k: [min(r[k] for r in runs), max(r[k] for r in runs)] for k in runs[0]}
     total = round(sum(best.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": best,
-                "sf": float(sf),
-                "urls_per_sec": round(urls / best["crawl"], 2),
-                "cores": cores,
-                "reps": reps,
-                "spread": spread,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": best,
+            "sf": float(sf),
+            "urls_per_sec": round(urls / best["crawl"], 2),
+            "cores": cores,
+            "reps": reps,
+            "spread": spread,
+        }
     )
+    print(line)
+    # r4 verdict #8: BENCH_r04's stdout tail was truncated and parsed null —
+    # always ALSO write the line to a file so round-over-round comparison
+    # never depends on a log tail ($SPARK_GRAFT_BENCH_OUT overrides).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LATEST.json"),
+    )
+    try:
+        with open(out_path, "w", encoding="utf-8") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
     spark.stop()
 
 
