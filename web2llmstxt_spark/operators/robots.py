@@ -232,15 +232,24 @@ def rules_array_df(policies: DataFrame) -> DataFrame:
     )
 
 
+#: schema of the per-host rule-array table (rules_array_df output)
+RULES_ARRAY_SCHEMA = "host string, robots_rules array<struct<l:int,a:int,p:string>>"
+
+
 def rules_array_from_list(spark, rules_by_host: dict) -> DataFrame:
-    """Oracle-twin constructor: the same per-host array table built from the
-    {host: [(rule, prefix), ...]} dict the legacy closure paths consume."""
+    """The per-host array table built directly from the
+    {host: [(rule, prefix), ...]} dict the legacy closure paths consume —
+    arrays assembled driver-side (the dict is already local), so this is a
+    pure createDataFrame with NO aggregation job; element order within an
+    array is irrelevant to the array_max decision."""
     rows = [
-        (host, rule, prefix, None)
+        (
+            host.lower(),
+            [(len(p), int(rule == "allow"), p) for rule, p in rules],
+        )
         for host, rules in rules_by_host.items()
-        for rule, prefix in rules
     ]
-    return rules_array_df(spark.createDataFrame(rows, POLICY_SCHEMA))
+    return spark.createDataFrame(rows, RULES_ARRAY_SCHEMA)
 
 
 def with_robots_decision(
