@@ -41,6 +41,7 @@ HEADLINE = [
     "ann_topk",
     "categorize",
     "media_features",
+    "media_features_jpeg",
     "span_roundtrip",
     "robots_filter",
     "politeness_cap",

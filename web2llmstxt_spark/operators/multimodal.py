@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import png, wav, y4m
+from ..functions import jpeg, png, wav, y4m
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -111,6 +111,29 @@ def _png_decode_stats(blob: bytes) -> tuple[int, int, list[float], float]:
     return w, h, [n / n_bytes for n in nbins], luma / (255 * 1000 * n_pix)
 
 
+def _jpeg_decode_stats(blob: bytes) -> tuple[int, int, list[float], float]:
+    """REAL lossy decode (functions/jpeg.py, numpy DCT) -> the same exact
+    pixel stats as :func:`_png_decode_stats`. The decoded bytes of the
+    flat-block q=100 synth images are exactly SQL-derivable (see
+    functions/jpeg.py docstring), so the driver row verifies the whole
+    baseline bit stream — huffman, DC differentials, byte stuffing, IDCT —
+    end-to-end against DuckDB, not just plumbing."""
+    w, h, ch, px = jpeg.decode_jpeg(blob)
+    nbins = [0] * 16
+    for b in px:
+        nbins[b >> 4] += 1
+    rgb_ch = min(ch, 3)
+    luma = 0
+    for i in range(0, len(px), ch):
+        if ch == 1:
+            luma += 1000 * px[i]
+        else:
+            luma += sum(_LUMA_MILLI[c] * px[i + c] for c in range(rgb_ch))
+    n_bytes = len(px)
+    n_pix = w * h
+    return w, h, [n / n_bytes for n in nbins], luma / (255 * 1000 * n_pix)
+
+
 def extract_image_features(media: DataFrame, decoder: str = "fake",
                            dims: int = 16) -> DataFrame:
     """image blobs -> feature vectors via mapInPandas (Arrow batches).
@@ -118,12 +141,14 @@ def extract_image_features(media: DataFrame, decoder: str = "fake",
     ``decoder='png'``: REAL decode via the stdlib codec (functions/png.py) —
     width/height come from the parsed IHDR and feat/mean_luma from actual
     pixel bytes, so a corrupted blob or a codec bug fails loudly here.
-    ``decoder='fake'``: blake2b stand-in (width/height null). Other decoders
-    (jpeg/webp) need PIL and raise with the production recipe.
+    ``decoder='jpeg'``: REAL baseline-JPEG decode (functions/jpeg.py, numpy
+    DCT + huffman built from the stream's own DHT). ``decoder='fake'``:
+    blake2b stand-in (width/height null). webp/avif need PIL and raise with
+    the production recipe.
     """
-    if decoder not in ("fake", "png"):
+    if decoder not in ("fake", "png", "jpeg"):
         raise NotImplementedError(
-            "non-PNG decoders unavailable in this container; production: "
+            "webp/avif decoders unavailable in this container; production: "
             "PIL.Image.open(io.BytesIO(blob)).convert('RGB') -> resize -> "
             "model.encode inside this same mapInPandas body"
         )
@@ -135,6 +160,8 @@ def extract_image_features(media: DataFrame, decoder: str = "fake",
                 raw = bytes(blob) if blob is not None else b""
                 if decoder == "png":
                     w, h, f, l = _png_decode_stats(raw)
+                elif decoder == "jpeg":
+                    w, h, f, l = _jpeg_decode_stats(raw)
                 else:
                     f, l = _fake_decode_stats(raw, dims)
                     w = h = None
@@ -405,6 +432,65 @@ def _attach_png_blobs(imgs: DataFrame) -> DataFrame:
             )
 
     return imgs.mapInPandas(run, MEDIA)
+
+
+#: JPEG synth geometry: 16x16 grayscale = 2x2 grid of FLAT 8x8 blocks.
+#: Flat blocks at quality=100 round-trip EXACTLY through the lossy codec
+#: (DC-only, all-ones quant table — functions/jpeg.py docstring), which is
+#: what makes the decoded bytes SQL-derivable for the oracle while the bit
+#: stream still exercises huffman + DC differential coding across blocks.
+SYNTH_JPEG_SIDE = 16
+
+
+def synth_jpeg_block_values(media_ref: str) -> list[int]:
+    """The four flat-block gray values for a media_ref: bytes 0..3 of
+    ``md5(ref + ':j0')`` — the same hex pairs the DuckDB oracle twin
+    extracts with substr(md5(...)) in SQL."""
+    return list(hashlib.md5(f"{media_ref}:j0".encode()).digest()[:4])
+
+
+def synth_jpeg_pixels(media_ref: str) -> bytes:
+    """16x16 grayscale pixels: block (by, bx) flat at value[by*2+bx]."""
+    vals = synth_jpeg_block_values(media_ref)
+    row_top = bytes([vals[0]] * 8 + [vals[1]] * 8)
+    row_bot = bytes([vals[2]] * 8 + [vals[3]] * 8)
+    return row_top * 8 + row_bot * 8
+
+
+def _synth_jpeg_blob(media_ref: str) -> bytes:
+    return jpeg.encode_jpeg(
+        SYNTH_JPEG_SIDE, SYNTH_JPEG_SIDE, synth_jpeg_pixels(media_ref),
+        channels=1, quality=100,
+    )
+
+
+def synth_jpeg_media(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL baseline-JPEG image per document (ref ``jmg-<doc_id>``),
+    encoded in Arrow-batched mapInPandas by the numpy codec — the JPEG twin
+    of the PNG synth path, feeding the driver-checked ``media_features_jpeg``
+    row."""
+    refs = documents.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.concat(F.lit("jmg-"), F.col(id_col).cast("string")).alias("media_ref"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": "image",
+                    "blob": [_synth_jpeg_blob(r) for r in pdf["media_ref"]],
+                    "meta": [
+                        {"mime": "image/jpeg", "width": SYNTH_JPEG_SIDE,
+                         "height": SYNTH_JPEG_SIDE, "duration_ms": None}
+                        for _ in pdf["media_ref"]
+                    ],
+                }
+            )
+
+    return refs.mapInPandas(run, MEDIA)
 
 
 #: media span kinds media_from_documents materializes by default

@@ -1174,6 +1174,55 @@ def sql_media_features():
     """
 
 
+def q_media_features_jpeg(spark, sf_dir):
+    """Multimodal decode, REAL **lossy** codec: one 16x16 grayscale baseline
+    JPEG per document (2x2 grid of flat 8x8 blocks, values = md5 hex pairs
+    of the media_ref, quality=100), encoded AND decoded by the numpy codec
+    (functions/jpeg.py) inside mapInPandas. Flat blocks at q=100 round-trip
+    exactly (DC-only, all-ones quant table), so the oracle derives the same
+    decoded bytes from md5() in SQL — any huffman/DC-differential/stuffing/
+    IDCT bug changes the bytes and fails the hash match. This row verifies
+    the whole baseline JPEG bit stream end-to-end, the lossy twin of
+    ``media_features``."""
+    from ..operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.synth_jpeg_media(docs)
+    feats = multimodal.extract_image_features(media, decoder="jpeg")
+    return feats.select(
+        "doc_id", "media_ref", "width", "height", "mean_luma",
+        *[F.col("feat")[i].alias(f"feat_{i}") for i in range(16)],
+    )
+
+
+def sql_media_features_jpeg():
+    # flat-block value k (0..3): hex pair k of md5(ref || ':j0'); each block
+    # contributes 64 of the 256 decoded bytes (exact round trip at q=100).
+    hexp = "'0123456789abcdef'"
+    v = (
+        f"(strpos({hexp}, substr(md5(media_ref || ':j0'), k * 2 + 1, 1)) - 1) * 16"
+        f" + strpos({hexp}, substr(md5(media_ref || ':j0'), k * 2 + 2, 1)) - 1"
+    )
+    feats = ", ".join(
+        f"count(*) FILTER (WHERE v // 16 = {j}) * 64 / 256.0 AS feat_{j}"
+        for j in range(16)
+    )
+    return f"""
+        WITH refs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'jmg-' || CAST(doc_id AS VARCHAR) AS media_ref
+            FROM documents),
+        b AS (
+            SELECT doc_id, media_ref, k, {v} AS v
+            FROM refs CROSS JOIN generate_series(0, 3) AS g(k))
+        SELECT doc_id, media_ref,
+               CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+               SUM(64000 * v) / 65280000.0 AS mean_luma,
+               {feats}
+        FROM b GROUP BY 1, 2
+    """
+
+
 def q_audio_features(spark, sf_dir):
     """Multimodal AUDIO decode, REAL: one synthetic mono 16-bit WAV per
     document (PCM payload = md5 chain of the media_ref, RIFF-encoded WITH a
@@ -3282,6 +3331,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_lsh": (q_ann_lsh, sql_ann_lsh),
     "pipeline_e2e": (q_pipeline_e2e, sql_pipeline_e2e),
     "media_features": (q_media_features, sql_media_features),
+    "media_features_jpeg": (q_media_features_jpeg, sql_media_features_jpeg),
     "audio_features": (q_audio_features, sql_audio_features),
     "video_frames": (q_video_frames, sql_video_frames),
     "image_neardup": (q_image_neardup, sql_image_neardup),
