@@ -42,6 +42,7 @@ HEADLINE = [
     "categorize",
     "media_features",
     "media_features_jpeg",
+    "media_features_gif",
     "span_roundtrip",
     "robots_filter",
     "politeness_cap",

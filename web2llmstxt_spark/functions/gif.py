@@ -1,0 +1,227 @@
+"""Pure-stdlib GIF codec (LZW): real palette-image decode inside the
+multimodal mapInPandas without PIL (absent from this container).
+
+Scope: GIF87a/GIF89a, global or local color tables, interlaced or
+sequential row order, 89a extension blocks skipped; single-frame stills
+(the first image descriptor is decoded; animation frames after it are
+ignored). Output is always RGB via palette lookup. The ENCODER writes
+GIF87a grayscale (identity 256-entry gray palette, LZW minimum code size
+8) with full dictionary growth and mid-stream clear codes, so the decoder's
+variable-width/dictionary-reset paths are exercised by any image large
+enough to fill the table.
+
+GIF is lossless, so the driver-checked ``media_features_gif`` row gets the
+same md5-chain SQL oracle shape as the PNG row: wrong LZW unpacking =>
+wrong bytes => hash mismatch.
+
+This is codec plumbing for `operators/multimodal.py`, not a general imaging
+library: production swaps these two functions for PIL inside the same
+mapInPandas body (the Spark-side schema/batching is unchanged).
+"""
+
+from __future__ import annotations
+
+import struct
+
+_GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
+
+#: interlace pass layout per the GIF spec: (first row, row step)
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+# ---------------------------------------------------------------- encoder
+
+class _LZWWriter:
+    """LSB-first variable-width code packer into GIF 255-byte sub-blocks."""
+
+    def __init__(self):
+        self.bytes = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, width: int):
+        self._acc |= code << self._n
+        self._n += width
+        while self._n >= 8:
+            self.bytes.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._n -= 8
+
+    def flush(self):
+        if self._n:
+            self.bytes.append(self._acc & 0xFF)
+            self._acc = 0
+            self._n = 0
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    w = _LZWWriter()
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    w.write(clear, width)
+    prefix = b""
+    for b in data:
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        w.write(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= (1 << 12):
+            # table full: reset (exercises the decoder's clear-code path)
+            w.write(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = bytes([b])
+    if prefix:
+        w.write(table[prefix], width)
+    w.write(eoi, width)
+    w.flush()
+    return bytes(w.bytes)
+
+
+def encode_gif(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode raw top-down GRAYSCALE bytes (``width*height``) to a GIF87a
+    still with the identity gray palette (index i -> (i,i,i))."""
+    if len(pixels) != width * height:
+        raise ValueError(f"pixels: want {width * height} bytes, got {len(pixels)}")
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0, 0])  # global table, 8-bit, 256 entries; bg 0
+    out += _GRAY_PALETTE
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out.append(8)  # LZW minimum code size
+    payload = _lzw_encode(pixels, 8)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decoder
+
+class _LZWReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def read(self, width: int) -> int:
+        while self._n < width:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated LZW stream")
+            self._acc |= self.data[self.pos] << self._n
+            self.pos += 1
+            self._n += 8
+        v = self._acc & ((1 << width) - 1)
+        self._acc >>= width
+        self._n -= width
+        return v
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    r = _LZWReader(data)
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        code = r.read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+            if entry == b"":
+                raise ValueError(f"LZW code {code} refers to an empty slot")
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out[:n_pixels])
+
+
+def decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the first frame of a GIF blob -> ``(width, height, 3,
+    rgb_pixels)`` (palette looked up; interlace unwoven). Raises
+    ``ValueError`` on anything malformed — a loud boundary, not a silent
+    wrong answer."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh, packed, _bg, _par = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = blob[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(blob) and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected block {b:#x} at byte {pos}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", blob, pos + 1)
+        pos += 10
+        pal = global_pal
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = blob[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("no color table for image")
+        min_code_size = blob[pos]
+        pos += 1
+        payload = bytearray()
+        while pos < len(blob) and blob[pos] != 0:
+            ln = blob[pos]
+            payload += blob[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode(bytes(payload), min_code_size, w * h)
+        if len(idx) < w * h:
+            raise ValueError(f"LZW data short: {len(idx)} of {w * h} pixels")
+        if ipacked & 0x40:  # interlaced: un-weave row order
+            rows = [idx[r * w : (r + 1) * w] for r in range(h)]
+            woven: list[bytes | None] = [None] * h
+            src = 0
+            for first, step in _INTERLACE_PASSES:
+                for rr in range(first, h, step):
+                    woven[rr] = rows[src]
+                    src += 1
+            idx = b"".join(woven)  # type: ignore[arg-type]
+        n_pal = len(pal) // 3
+        rgb = bytearray(3 * w * h)
+        for i, ix in enumerate(idx):
+            if ix >= n_pal:
+                raise ValueError(f"palette index {ix} out of range ({n_pal})")
+            rgb[3 * i : 3 * i + 3] = pal[3 * ix : 3 * ix + 3]
+        return w, h, 3, bytes(rgb)
+    raise ValueError("no image descriptor found")

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import jpeg, png, wav, y4m
+from ..functions import gif, jpeg, png, wav, y4m
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -134,6 +134,24 @@ def _jpeg_decode_stats(blob: bytes) -> tuple[int, int, list[float], float]:
     return w, h, [n / n_bytes for n in nbins], luma / (255 * 1000 * n_pix)
 
 
+def _gif_decode_stats(blob: bytes) -> tuple[int, int, list[float], float]:
+    """REAL decode (functions/gif.py, pure-python LZW) -> the same exact
+    pixel stats as :func:`_png_decode_stats` over the palette-resolved RGB
+    bytes. GIF is lossless, so the oracle derives the identical bytes from
+    md5() in SQL — a variable-width/dictionary-reset LZW bug changes the
+    bytes and fails the hash match."""
+    w, h, ch, px = gif.decode_gif(blob)
+    nbins = [0] * 16
+    for b in px:
+        nbins[b >> 4] += 1
+    luma = 0
+    for i in range(0, len(px), ch):
+        luma += sum(_LUMA_MILLI[c] * px[i + c] for c in range(3))
+    n_bytes = len(px)
+    n_pix = w * h
+    return w, h, [n / n_bytes for n in nbins], luma / (255 * 1000 * n_pix)
+
+
 def extract_image_features(media: DataFrame, decoder: str = "fake",
                            dims: int = 16) -> DataFrame:
     """image blobs -> feature vectors via mapInPandas (Arrow batches).
@@ -142,11 +160,12 @@ def extract_image_features(media: DataFrame, decoder: str = "fake",
     width/height come from the parsed IHDR and feat/mean_luma from actual
     pixel bytes, so a corrupted blob or a codec bug fails loudly here.
     ``decoder='jpeg'``: REAL baseline-JPEG decode (functions/jpeg.py, numpy
-    DCT + huffman built from the stream's own DHT). ``decoder='fake'``:
+    DCT + huffman built from the stream's own DHT). ``decoder='gif'``: REAL
+    LZW decode (functions/gif.py, palette-resolved RGB). ``decoder='fake'``:
     blake2b stand-in (width/height null). webp/avif need PIL and raise with
     the production recipe.
     """
-    if decoder not in ("fake", "png", "jpeg"):
+    if decoder not in ("fake", "png", "jpeg", "gif"):
         raise NotImplementedError(
             "webp/avif decoders unavailable in this container; production: "
             "PIL.Image.open(io.BytesIO(blob)).convert('RGB') -> resize -> "
@@ -162,6 +181,8 @@ def extract_image_features(media: DataFrame, decoder: str = "fake",
                     w, h, f, l = _png_decode_stats(raw)
                 elif decoder == "jpeg":
                     w, h, f, l = _jpeg_decode_stats(raw)
+                elif decoder == "gif":
+                    w, h, f, l = _gif_decode_stats(raw)
                 else:
                     f, l = _fake_decode_stats(raw, dims)
                     w = h = None
@@ -485,6 +506,52 @@ def synth_jpeg_media(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "meta": [
                         {"mime": "image/jpeg", "width": SYNTH_JPEG_SIDE,
                          "height": SYNTH_JPEG_SIDE, "duration_ms": None}
+                        for _ in pdf["media_ref"]
+                    ],
+                }
+            )
+
+    return refs.mapInPandas(run, MEDIA)
+
+
+#: GIF synth geometry: 16x16 grayscale (md5-chain bytes, identity palette).
+SYNTH_GIF_SIDE = 16
+_SYNTH_GIF_CHUNKS = SYNTH_GIF_SIDE * SYNTH_GIF_SIDE // 16
+
+
+def synth_gif_pixels(media_ref: str) -> bytes:
+    """Deterministic 16x16 grayscale bytes: md5 chain ``md5(ref + ':g' + i)``
+    — the same sequence the DuckDB oracle derives from md5() hex in SQL."""
+    return b"".join(
+        hashlib.md5(f"{media_ref}:g{i}".encode()).digest()
+        for i in range(_SYNTH_GIF_CHUNKS)
+    )
+
+
+def _synth_gif_blob(media_ref: str) -> bytes:
+    return gif.encode_gif(SYNTH_GIF_SIDE, SYNTH_GIF_SIDE, synth_gif_pixels(media_ref))
+
+
+def synth_gif_media(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL GIF87a image per document (ref ``gmg-<doc_id>``), encoded in
+    Arrow-batched mapInPandas by the LZW codec — the GIF twin of the PNG
+    synth path, feeding the driver-checked ``media_features_gif`` row."""
+    refs = documents.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.concat(F.lit("gmg-"), F.col(id_col).cast("string")).alias("media_ref"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": "image",
+                    "blob": [_synth_gif_blob(r) for r in pdf["media_ref"]],
+                    "meta": [
+                        {"mime": "image/gif", "width": SYNTH_GIF_SIDE,
+                         "height": SYNTH_GIF_SIDE, "duration_ms": None}
                         for _ in pdf["media_ref"]
                     ],
                 }

@@ -1223,6 +1223,53 @@ def sql_media_features_jpeg():
     """
 
 
+def q_media_features_gif(spark, sf_dir):
+    """Multimodal decode, REAL LZW codec: one 16x16 grayscale-palette GIF87a
+    per document (pixel bytes = md5 chain of the media_ref), encoded AND
+    decoded by the pure-python codec (functions/gif.py) inside mapInPandas.
+    GIF is lossless, so the oracle derives the identical decoded bytes from
+    md5() hex in SQL — a variable-width, dictionary-growth or palette-lookup
+    bug in the LZW path changes the bytes and fails the hash match."""
+    from ..operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.synth_gif_media(docs)
+    feats = multimodal.extract_image_features(media, decoder="gif")
+    return feats.select(
+        "doc_id", "media_ref", "width", "height", "mean_luma",
+        *[F.col("feat")[i].alias(f"feat_{i}") for i in range(16)],
+    )
+
+
+def sql_media_features_gif():
+    # grayscale byte at pixel p: hex pair 2*(p%16) of md5(ref || ':g' || p//16);
+    # the gray palette triples every byte, so feat counts scale by 3/768 and
+    # luma is exactly 1000*v per pixel (299+587+114).
+    hexp = "'0123456789abcdef'"
+    v = (
+        f"(strpos({hexp}, substr(md5(media_ref || ':g' || CAST(p // 16 AS VARCHAR)), (p % 16) * 2 + 1, 1)) - 1) * 16"
+        f" + strpos({hexp}, substr(md5(media_ref || ':g' || CAST(p // 16 AS VARCHAR)), (p % 16) * 2 + 2, 1)) - 1"
+    )
+    feats = ", ".join(
+        f"count(*) FILTER (WHERE v // 16 = {j}) * 3 / 768.0 AS feat_{j}"
+        for j in range(16)
+    )
+    return f"""
+        WITH refs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'gmg-' || CAST(doc_id AS VARCHAR) AS media_ref
+            FROM documents),
+        b AS (
+            SELECT doc_id, media_ref, p, {v} AS v
+            FROM refs CROSS JOIN generate_series(0, 255) AS g(p))
+        SELECT doc_id, media_ref,
+               CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+               SUM(1000 * v) / 65280000.0 AS mean_luma,
+               {feats}
+        FROM b GROUP BY 1, 2
+    """
+
+
 def q_audio_features(spark, sf_dir):
     """Multimodal AUDIO decode, REAL: one synthetic mono 16-bit WAV per
     document (PCM payload = md5 chain of the media_ref, RIFF-encoded WITH a
@@ -3332,6 +3379,7 @@ REGISTRY: dict[str, tuple] = {
     "pipeline_e2e": (q_pipeline_e2e, sql_pipeline_e2e),
     "media_features": (q_media_features, sql_media_features),
     "media_features_jpeg": (q_media_features_jpeg, sql_media_features_jpeg),
+    "media_features_gif": (q_media_features_gif, sql_media_features_gif),
     "audio_features": (q_audio_features, sql_audio_features),
     "video_frames": (q_video_frames, sql_video_frames),
     "image_neardup": (q_image_neardup, sql_image_neardup),
