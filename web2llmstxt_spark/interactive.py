@@ -143,7 +143,14 @@ def interactive_main(
 
         if model.provider == "ollama":
             manager.warm_up_model(model.model_id)
-        describe_fn = DescribeClient(manager.transport_for(model)).as_describe_fn()
+        try:
+            describe_fn = DescribeClient(
+                manager.transport_for(model)
+            ).as_describe_fn()
+        except NotImplementedError as exc:
+            # e.g. a 'Setup Required' Gemini row: warn and continue with the
+            # deterministic fallback instead of crashing after all prompts
+            print_fn(f"⚠️  {model.display_name}: {exc} — using fallback descriptions")
     kwargs = {
         "seed": seed,
         "crawl_strategy": "sitemap" if mode == "sitemap" else "systematic",

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import re
+import time
 from collections.abc import Callable
 
 from ..functions import kernels
@@ -257,7 +258,8 @@ class DescribeClient:
     ``if description:`` gate). Raised exceptions ARE retried with the
     reference's tenacity policy (3 attempts, exponential wait clamped to
     [4, 10] s — wait_exponential(multiplier=1, min=4, max=10)); ``sleep``
-    is injectable (tests pass a recorder, production ``time.sleep``).
+    defaults to real ``time.sleep`` so the documented wait actually
+    happens in production; tests inject a recorder or ``None`` (no wait).
     ``transport=None`` reproduces the no-client path
     (_create_content_description).
     """
@@ -269,7 +271,7 @@ class DescribeClient:
         wait_multiplier: float = 1.0,
         wait_min: float = 4.0,
         wait_max: float = 10.0,
-        sleep: Callable[[float], None] | None = None,
+        sleep: Callable[[float], None] | None = time.sleep,
     ):
         self.transport = transport
         self.attempts = attempts

@@ -84,18 +84,19 @@ def _fake_decode_stats(blob: bytes, dims: int = 16) -> tuple[list[float], float]
     return feat, luma
 
 
-def _png_decode_stats(blob: bytes) -> tuple[int, int, list[float], float]:
-    """REAL decode (functions/png.py, stdlib zlib) -> deterministic pixel
-    stats, each a single exact-integer division so the DuckDB oracle twin
-    reproduces them bit-identically:
+def _pixel_stats(w: int, h: int, ch: int, px: bytes) -> tuple[int, int, list[float], float]:
+    """Decoded pixels -> deterministic stats, each a single exact-integer
+    division so the DuckDB oracle twins reproduce them bit-identically.
+    ONE implementation for every image decoder (png/jpeg/gif) — the
+    oracle-exactness contract means any tweak must hit all three rows in
+    lockstep, so there is exactly one body to tweak:
 
     - ``feat[j]`` = fraction of pixel bytes with high nibble j (16-bin byte
       histogram), count / n_bytes;
     - ``mean_luma`` = mean BT.601 luma over pixels in [0,1]: the integer sum
-      of 299R+587G+114B divided once by 255*1000*n_pixels (grayscale: R=G=B;
-      RGBA: alpha excluded).
+      of 299R+587G+114B divided once by 255*1000*n_pixels (grayscale: R=G=B
+      -> exactly 1000*v; RGBA: alpha excluded).
     """
-    w, h, ch, px = png.decode_png(blob)
     nbins = [0] * 16
     for b in px:
         nbins[b >> 4] += 1
@@ -109,47 +110,29 @@ def _png_decode_stats(blob: bytes) -> tuple[int, int, list[float], float]:
     n_bytes = len(px)
     n_pix = w * h
     return w, h, [n / n_bytes for n in nbins], luma / (255 * 1000 * n_pix)
+
+
+def _png_decode_stats(blob: bytes) -> tuple[int, int, list[float], float]:
+    """REAL decode (functions/png.py, stdlib zlib) -> :func:`_pixel_stats`."""
+    return _pixel_stats(*png.decode_png(blob))
 
 
 def _jpeg_decode_stats(blob: bytes) -> tuple[int, int, list[float], float]:
-    """REAL lossy decode (functions/jpeg.py, numpy DCT) -> the same exact
-    pixel stats as :func:`_png_decode_stats`. The decoded bytes of the
-    flat-block q=100 synth images are exactly SQL-derivable (see
-    functions/jpeg.py docstring), so the driver row verifies the whole
-    baseline bit stream — huffman, DC differentials, byte stuffing, IDCT —
-    end-to-end against DuckDB, not just plumbing."""
-    w, h, ch, px = jpeg.decode_jpeg(blob)
-    nbins = [0] * 16
-    for b in px:
-        nbins[b >> 4] += 1
-    rgb_ch = min(ch, 3)
-    luma = 0
-    for i in range(0, len(px), ch):
-        if ch == 1:
-            luma += 1000 * px[i]
-        else:
-            luma += sum(_LUMA_MILLI[c] * px[i + c] for c in range(rgb_ch))
-    n_bytes = len(px)
-    n_pix = w * h
-    return w, h, [n / n_bytes for n in nbins], luma / (255 * 1000 * n_pix)
+    """REAL lossy decode (functions/jpeg.py, numpy DCT) ->
+    :func:`_pixel_stats`. The decoded bytes of the flat-block q=100 synth
+    images are exactly SQL-derivable (see functions/jpeg.py docstring), so
+    the driver row verifies the whole baseline bit stream — huffman, DC
+    differentials, byte stuffing, IDCT — end-to-end against DuckDB."""
+    return _pixel_stats(*jpeg.decode_jpeg(blob))
 
 
 def _gif_decode_stats(blob: bytes) -> tuple[int, int, list[float], float]:
-    """REAL decode (functions/gif.py, pure-python LZW) -> the same exact
-    pixel stats as :func:`_png_decode_stats` over the palette-resolved RGB
-    bytes. GIF is lossless, so the oracle derives the identical bytes from
-    md5() in SQL — a variable-width/dictionary-reset LZW bug changes the
-    bytes and fails the hash match."""
-    w, h, ch, px = gif.decode_gif(blob)
-    nbins = [0] * 16
-    for b in px:
-        nbins[b >> 4] += 1
-    luma = 0
-    for i in range(0, len(px), ch):
-        luma += sum(_LUMA_MILLI[c] * px[i + c] for c in range(3))
-    n_bytes = len(px)
-    n_pix = w * h
-    return w, h, [n / n_bytes for n in nbins], luma / (255 * 1000 * n_pix)
+    """REAL decode (functions/gif.py, pure-python LZW) ->
+    :func:`_pixel_stats` over the palette-resolved RGB bytes. GIF is
+    lossless, so the oracle derives the identical bytes from md5() in SQL —
+    a variable-width/dictionary-reset LZW bug changes the bytes and fails
+    the hash match."""
+    return _pixel_stats(*gif.decode_gif(blob))
 
 
 def extract_image_features(media: DataFrame, decoder: str = "fake",

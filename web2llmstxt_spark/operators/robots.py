@@ -122,11 +122,12 @@ def parse_robots_text(text: str, agent: str = "*") -> dict:
             rules.append(("allow", value))
         elif field == "crawl-delay":
             try:
-                # Clamp to 1 day: POLICY_SCHEMA carries int32 and a hostile
-                # 'Crawl-delay: 99999999999' must not overflow the Arrow
-                # conversion and kill the whole parse batch — this module
-                # exists precisely to eat untrusted robots bytes.
-                delay_ms = min(int(float(value) * 1000), 86_400_000)
+                # Clamp to [0, 1 day]: POLICY_SCHEMA carries int32 and a
+                # hostile 'Crawl-delay: 99999999999' (or a negative one)
+                # must not overflow the Arrow conversion and kill the whole
+                # parse batch — this module exists precisely to eat
+                # untrusted robots bytes.
+                delay_ms = min(max(int(float(value) * 1000), 0), 86_400_000)
             except (ValueError, OverflowError):
                 pass  # garbage like 'inf'/'1e400'/'fast' -> no delay
     return {"rules": rules, "crawl_delay_ms": delay_ms, "sitemaps": sitemaps}

@@ -456,12 +456,16 @@ def semdedup(
     """
     if centroids is None:
         centroids = ivf_centroids(df, nlist, vec_col, id_col)
-    assigned = ivf_assign(df, centroids, vec_col, id_col)  # (id, cid)
     if nprobe > 1:
-        pairing = ivf_assign_multi(
-            df, centroids, nprobe, vec_col, id_col
-        ).select(id_col, "cid")
+        # ONE broadcast-cross cosine pass serves both roles: the primary
+        # assignment is exactly the probe_rank==1 slice (same argmax +
+        # smallest-cid tie-break as ivf_assign) — running ivf_assign too
+        # would pay the dominant N x nlist pass twice
+        multi = ivf_assign_multi(df, centroids, nprobe, vec_col, id_col)
+        assigned = multi.filter(F.col("probe_rank") == 1).select(id_col, "cid")
+        pairing = multi.select(id_col, "cid")
     else:
+        assigned = ivf_assign(df, centroids, vec_col, id_col)  # (id, cid)
         pairing = assigned
     withc = df.select(id_col, vec_col).join(pairing, id_col)
     if max_cluster is not None:

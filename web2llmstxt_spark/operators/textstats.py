@@ -307,10 +307,12 @@ def exact_quantiles(
         F.count("*").alias("cnt")
     )
     if max_distinct is not None:
-        hist = hist.cache()  # histogram is guarded-small; reused by the window
+        # materialize once for the guard count AND the window reuse;
+        # localCheckpoint (not cache) so the blocks are released when the
+        # plan is GC'd — CacheManager entries would outlive every call
+        hist = hist.localCheckpoint(eager=True)
         n_distinct = hist.count()
         if n_distinct > max_distinct:
-            hist.unpersist()
             raise ValueError(
                 f"exact_quantiles: {value_col!r} has {n_distinct} distinct "
                 f"values (> max_distinct={max_distinct}); the cumulative "

@@ -65,7 +65,6 @@ def generate_llmstxt(
     ['total_entries_processed'] for counts). Pass ``collect_entries=True``
     only when the caller actually wants the bounded per-page summary lists
     (small crawls, tests).
-    (json/yaml/v1 formats still need the collected list and ignore False.)
 
     ``crawl_strategy`` mirrors the reference dispatch (v1 generator/
     llms_generator.py:694-700; v2 llmsgen pyc names

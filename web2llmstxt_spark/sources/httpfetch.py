@@ -170,13 +170,17 @@ def parse_page_html(body: bytes | str) -> dict:
 
 # --------------------------------------------------------------- transport
 
-def http_transport(gateway: str, timeout: float = 10.0):
+def http_transport(gateway: str, timeout: float = 10.0,
+                   headers: dict | None = None):
     """Picklable transport ``fn(url, attempt) -> {status, body}`` routing
     every URL through a loopback/sidecar HTTP gateway: the request line
     carries the URL's path+query, the ``X-Target-URI`` header the full
     original URL (absolute-URI proxy convention) — so https URLs crawl over
-    a plain-HTTP hop without touching the frontier's canonical identity."""
+    a plain-HTTP hop without touching the frontier's canonical identity.
+    The single implementation behind both the standalone transport and the
+    fetcher's in-task closure (which wraps per-host pacing around it)."""
     gw = gateway.rstrip("/")
+    extra = dict(headers or {})
 
     def transport(url: str, attempt: int) -> dict:
         import urllib.error
@@ -188,7 +192,7 @@ def http_transport(gateway: str, timeout: float = 10.0):
         if parts.query:
             path += "?" + parts.query
         req = urllib.request.Request(
-            gw + path, headers={"X-Target-URI": url}
+            gw + path, headers={"X-Target-URI": url, **extra}
         )
         try:
             with urllib.request.urlopen(req, timeout=timeout) as resp:
@@ -210,6 +214,9 @@ class HttpFetcher:
     Output schema and found/fetch_ok semantics are TableFetcher's exactly
     (shared ``_fetch_post``): 200 -> found+ok, 404 -> not found (URL still
     enters seen, quirk Q5), retries-exhausted 5xx/429 -> found but failed.
+    ``sleep`` defaults to real ``time.sleep`` so the documented backoff
+    actually waits in production; tests pass ``sleep=None`` (no wait) or a
+    recorder.
 
     ``partition_by_host=True`` hashes candidates by host so one host's URLs
     land in one task and ``per_host_delay_ms`` pacing is globally correct
@@ -227,7 +234,7 @@ class HttpFetcher:
         total: int = 3,
         backoff_factor: float = 1.0,
         status_forcelist: tuple[int, ...] = DEFAULT_FORCELIST,
-        sleep=None,
+        sleep=time.sleep,
         timeout: float = 10.0,
         partition_by_host: bool = False,
         per_host_delay_ms: int = 0,
@@ -289,35 +296,22 @@ class HttpFetcher:
         headers["X-Superstep"] = str(self._superstep)
 
         def run(batches):
-            import urllib.error
-            import urllib.request
-            from urllib.parse import quote as _q
             from urllib.parse import urlsplit
 
-            gw = gateway.rstrip("/")
+            base = http_transport(gateway, timeout, headers)
             last_hit: dict[str, float] = {}  # host -> monotonic seconds
 
             def transport(url: str, attempt: int) -> dict:
-                parts = urlsplit(url)
                 if delay_ms > 0:
-                    prev = last_hit.get(parts.netloc)
+                    host = urlsplit(url).netloc
+                    prev = last_hit.get(host)
                     now = time.monotonic()
                     if prev is not None:
                         wait = prev + delay_ms / 1000.0 - now
                         if wait > 0:
                             time.sleep(wait)
-                    last_hit[parts.netloc] = time.monotonic()
-                path = _q(parts.path or "/", safe="/%:@!$&'()*+,;=~-._")
-                if parts.query:
-                    path += "?" + parts.query
-                req = urllib.request.Request(
-                    gw + path, headers={"X-Target-URI": url, **headers}
-                )
-                try:
-                    with urllib.request.urlopen(req, timeout=timeout) as resp:
-                        return {"status": resp.status, "body": resp.read()}
-                except urllib.error.HTTPError as e:
-                    return {"status": e.code}
+                    last_hit[host] = time.monotonic()
+                return base(url, attempt)
 
             for pdf in batches:
                 titles, spans_c, links_c, oks, founds = [], [], [], [], []

@@ -640,15 +640,15 @@ def write_archive_files(blobs: DataFrame, out_dir: str, prefix: str = "crawl") -
     materialization of archive bytes. ONE evaluation of ``blobs``: the
     write task yields the shard ids it published (mapPartitions + collect
     of ints only), so the expensive groupBy/applyInPandas gzip plan never
-    runs twice. Stale ``<prefix>-*.warc.gz`` files from a prior larger run
-    are removed first so a later ``from-warc`` glob can't pick up orphaned
-    archives. Returns the sorted list of written paths."""
+    runs twice. Orphaned ``<prefix>-*.warc.gz`` shards from a prior larger
+    run are removed AFTER the write succeeds (write-then-delete: a failed
+    job must leave the previous replayable archive intact — same-id shards
+    are already replaced atomically by os.replace). Returns the sorted
+    list of written paths."""
     import glob as _glob
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    for stale in _glob.glob(os.path.join(out_dir, f"{prefix}-*.warc.gz")):
-        os.remove(stale)
     shard_rows = blobs.select("shard", "warc")
 
     def write_part(rows):
@@ -662,6 +662,10 @@ def write_archive_files(blobs: DataFrame, out_dir: str, prefix: str = "crawl") -
             yield shard
 
     shards = shard_rows.rdd.mapPartitions(write_part).collect()
+    written = {f"{prefix}-{s:05d}.warc.gz" for s in shards}
+    for f in _glob.glob(os.path.join(out_dir, f"{prefix}-*.warc.gz")):
+        if os.path.basename(f) not in written:
+            os.remove(f)  # orphan from a prior larger run
     return [
         os.path.join(out_dir, f"{prefix}-{s:05d}.warc.gz") for s in sorted(shards)
     ]
