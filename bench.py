@@ -43,6 +43,9 @@ HEADLINE = [
     "media_features",
     "media_features_jpeg",
     "media_features_gif",
+    "media_meta_mp3",
+    "media_meta_mp4",
+    "mp4_sample_index",
     "span_roundtrip",
     "robots_filter",
     "politeness_cap",

@@ -1270,6 +1270,157 @@ def sql_media_features_gif():
     """
 
 
+def _md5_byte(expr: str, k: str) -> str:
+    """DuckDB: byte ``k`` (0..15) of md5(expr) via hex-pair strpos."""
+    hexp = "'0123456789abcdef'"
+    return (
+        f"(strpos({hexp}, substr(md5({expr}), ({k}) * 2 + 1, 1)) - 1) * 16"
+        f" + strpos({hexp}, substr(md5({expr}), ({k}) * 2 + 2, 1)) - 1"
+    )
+
+
+#: MPEG-1 Layer III bitrate table as a DuckDB CASE over index 1..14
+_MP3_BR_SQL = (
+    "CASE 1 + (fb % 14) "
+    "WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56 "
+    "WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112 "
+    "WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224 "
+    "WHEN 13 THEN 256 WHEN 14 THEN 320 END"
+)
+
+
+def q_media_meta_mp3(spark, sf_dir):
+    """Container-level audio metadata, REAL frame walk: one structurally
+    valid VBR MPEG-1 Layer III stream per document (ID3v2-tagged, per-frame
+    bitrate index AND padding bit md5-derived), walked by functions/mp3.py
+    inside mapInPandas. The padding bit changes only each frame's SIZE, so
+    any size-arithmetic bug desynchronizes the walk and corrupts
+    n_frames/duration/bitrates — which the md5-deriving oracle catches.
+    Codec payload stays opaque (documented ffmpeg boundary)."""
+    from ..operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.synth_mp3_media(docs)
+    return multimodal.extract_mp3_meta(media)
+
+
+def sql_media_meta_mp3():
+    b0 = _md5_byte("media_ref || ':m0'", "0")
+    b1 = _md5_byte("media_ref || ':m0'", "1")
+    fbk = _md5_byte("media_ref || ':mf'", "k")
+    return f"""
+        WITH refs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'mp3-' || CAST(doc_id AS VARCHAR) AS media_ref
+            FROM documents),
+        hdr AS (
+            SELECT doc_id, media_ref,
+                   8 + ({b0}) % 8 AS n,
+                   CASE WHEN ({b1}) % 4 = 3 THEN 1 ELSE 2 END AS ch
+            FROM refs),
+        fr AS (
+            SELECT doc_id, media_ref, n, ch, {_MP3_BR_SQL} AS br
+            FROM (
+                SELECT doc_id, media_ref, n, ch, k, {fbk} AS fb
+                FROM hdr CROSS JOIN generate_series(0, 15) AS g(k)
+                WHERE k < n))
+        SELECT doc_id, media_ref,
+               CAST(n AS INTEGER) AS n_frames,
+               CAST(44100 AS INTEGER) AS sample_rate,
+               CAST(ch AS INTEGER) AS n_channels,
+               CAST(n * 1152 * 1000 // 44100 AS BIGINT) AS duration_ms,
+               CAST(SUM(br) AS BIGINT) AS bitrate_sum,
+               CAST(MIN(br) AS INTEGER) AS bitrate_min,
+               CAST(MAX(br) AS INTEGER) AS bitrate_max,
+               MIN(br) = MAX(br) AS is_cbr
+        FROM fr GROUP BY 1, 2, n, ch
+    """
+
+
+def q_media_meta_mp4(spark, sf_dir):
+    """Container-level video metadata, REAL ISO-BMFF box walk: one
+    structurally valid single-track MP4 per document (dims, sample count
+    and per-sample sizes md5-derived), parsed by functions/mp4.py inside
+    mapInPandas — resolution from tkhd 16.16 fixed-point, duration from
+    mvhd, counts/bytes from the stts/stsc/stsz/stco chain. Codec payload
+    stays opaque (documented ffmpeg boundary)."""
+    from ..operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.synth_mp4_media(docs)
+    return multimodal.extract_mp4_meta(media)
+
+
+def sql_media_meta_mp4():
+    b0 = _md5_byte("media_ref || ':v0'", "0")
+    b1 = _md5_byte("media_ref || ':v0'", "1")
+    b2 = _md5_byte("media_ref || ':v0'", "2")
+    sbk = _md5_byte("media_ref || ':vs'", "k")
+    return f"""
+        WITH refs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'mp4-' || CAST(doc_id AS VARCHAR) AS media_ref
+            FROM documents),
+        hdr AS (
+            SELECT doc_id, media_ref,
+                   6 + ({b0}) % 6 AS n,
+                   160 + 16 * (({b1}) % 8) AS w,
+                   120 + 16 * (({b2}) % 6) AS h
+            FROM refs),
+        s AS (
+            SELECT doc_id, media_ref, n, w, h, 20 + ({sbk}) AS sz
+            FROM hdr CROSS JOIN generate_series(0, 11) AS g(k)
+            WHERE k < n)
+        SELECT doc_id, media_ref,
+               CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+               CAST(n AS INTEGER) AS n_samples,
+               CAST(n * 40 AS BIGINT) AS duration_ms,
+               CAST(SUM(sz) AS BIGINT) AS total_sample_bytes,
+               'vide' AS handler
+        FROM s GROUP BY 1, 2, n, w, h
+    """
+
+
+def q_mp4_sample_index(spark, sf_dir):
+    """Codec-free frame index, REAL chunk arithmetic: one row per mp4
+    sample with its byte offset/size/timestamp derived from the
+    stts/stsc/stsz/stco tables (functions/mp4.py) — at scale each row
+    becomes one ranged GET against the object store. The oracle re-derives
+    the offsets as 32 + cumulative md5-derived sizes (ftyp is 24 bytes, the
+    single chunk starts at byte 32), so any box-walk or cumulative-offset
+    bug fails the hash match."""
+    from ..operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.synth_mp4_media(docs)
+    return multimodal.mp4_sample_index(media)
+
+
+def sql_mp4_sample_index():
+    b0 = _md5_byte("media_ref || ':v0'", "0")
+    sbk = _md5_byte("media_ref || ':vs'", "k")
+    return f"""
+        WITH refs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'mp4-' || CAST(doc_id AS VARCHAR) AS media_ref
+            FROM documents),
+        hdr AS (
+            SELECT doc_id, media_ref, 6 + ({b0}) % 6 AS n FROM refs),
+        s AS (
+            SELECT doc_id, media_ref, k, 20 + ({sbk}) AS sz
+            FROM hdr CROSS JOIN generate_series(0, 11) AS g(k)
+            WHERE k < n)
+        SELECT doc_id, media_ref, CAST(k AS INTEGER) AS k,
+               CAST(32 + COALESCE(SUM(sz) OVER (
+                   PARTITION BY doc_id ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS "offset",
+               CAST(sz AS INTEGER) AS size,
+               CAST(k * 40 AS BIGINT) AS t_ms
+        FROM s
+    """
+
+
 def q_audio_features(spark, sf_dir):
     """Multimodal AUDIO decode, REAL: one synthetic mono 16-bit WAV per
     document (PCM payload = md5 chain of the media_ref, RIFF-encoded WITH a
@@ -3380,6 +3531,9 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, sql_media_features),
     "media_features_jpeg": (q_media_features_jpeg, sql_media_features_jpeg),
     "media_features_gif": (q_media_features_gif, sql_media_features_gif),
+    "media_meta_mp3": (q_media_meta_mp3, sql_media_meta_mp3),
+    "media_meta_mp4": (q_media_meta_mp4, sql_media_meta_mp4),
+    "mp4_sample_index": (q_mp4_sample_index, sql_mp4_sample_index),
     "audio_features": (q_audio_features, sql_audio_features),
     "video_frames": (q_video_frames, sql_video_frames),
     "image_neardup": (q_image_neardup, sql_image_neardup),
