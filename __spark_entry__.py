@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # so across r4+r5 every registry entry lands in a driver CORRECTNESS file.
 DRIVER_PRIORITY = [
     "media_features_jpeg", "media_features_gif",
-    "media_meta_mp3", "media_meta_mp4", "mp4_sample_index",
+    "media_meta_mp3", "media_meta_mp4", "mp4_sample_index", "media_meta_webp",
     "pack_sequences", "lm_xent", "c4_clean", "curate_e2e", "snapshot_diff",
     "link_pagerank", "ann_pq", "semdedup", "dsir_select", "cms_topk",
     "hll_distinct", "length_quantiles", "url_canon_cluster", "warc_parse",

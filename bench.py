@@ -46,6 +46,7 @@ HEADLINE = [
     "media_meta_mp3",
     "media_meta_mp4",
     "mp4_sample_index",
+    "media_meta_webp",
     "span_roundtrip",
     "robots_filter",
     "politeness_cap",

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import gif, jpeg, mp3, mp4, png, wav, y4m
+from ..functions import gif, jpeg, mp3, mp4, png, wav, webp, y4m
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -773,6 +773,89 @@ def mp4_sample_index(media: DataFrame) -> DataFrame:
 
     vids = media.filter(F.col("kind") == "video").select("doc_id", "media_ref", "blob")
     return vids.mapInPandas(run, MP4_SAMPLES)
+
+
+WEBP_META = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("variant", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("has_alpha", BooleanType()),
+        StructField("is_animated", BooleanType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def synth_webp_params(media_ref: str) -> tuple[str, int, int, bool, int]:
+    """(variant, width, height, alpha, n_frames) from bytes of
+    ``md5(ref + ':w0')`` — the values the DuckDB twin re-derives in SQL."""
+    b = hashlib.md5(f"{media_ref}:w0".encode()).digest()
+    variant = ("vp8", "vp8l", "vp8x")[b[0] % 3]
+    width = 100 + b[1]
+    height = 80 + b[2]
+    alpha = b[3] % 2 == 1 and variant != "vp8"
+    n_frames = b[4] % 4 if variant == "vp8x" else 0
+    return variant, width, height, alpha, n_frames
+
+
+def _synth_webp_blob(media_ref: str) -> bytes:
+    variant, w, h, alpha, n = synth_webp_params(media_ref)
+    return webp.build_webp(w, h, variant, alpha=alpha, n_frames=n)
+
+
+def synth_webp_media(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One structurally-real WebP per document (ref ``wbp-<doc_id>``,
+    cycling lossy/lossless/extended+animation variants), feeding the
+    driver-checked ``media_meta_webp`` row."""
+    refs = documents.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.concat(F.lit("wbp-"), F.col(id_col).cast("string")).alias("media_ref"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": "image",
+                    "blob": [_synth_webp_blob(r) for r in pdf["media_ref"]],
+                    "meta": [
+                        {"mime": "image/webp", "width": None, "height": None,
+                         "duration_ms": None}
+                        for _ in pdf["media_ref"]
+                    ],
+                }
+            )
+
+    return refs.mapInPandas(run, MEDIA)
+
+
+def extract_webp_meta(media: DataFrame) -> DataFrame:
+    """image blobs -> REAL WebP container/header metadata via mapInPandas
+    (functions/webp.py): RIFF walk + VP8 keyframe / VP8L / VP8X bit
+    unpacking — format variant, dimensions, alpha, animation frame count;
+    pixel decode stays the documented libwebp boundary."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "variant", "width", "height", "has_alpha", "is_animated",
+                "n_frames",
+            )}
+            for blob in pdf["blob"]:
+                info = webp.parse_webp(bytes(blob))
+                for k in rows:
+                    rows[k].append(info[k])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_ref": pdf["media_ref"], **rows}
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select("doc_id", "media_ref", "blob")
+    return imgs.mapInPandas(run, WEBP_META)
 
 
 #: media span kinds media_from_documents materializes by default

@@ -1421,6 +1421,44 @@ def sql_mp4_sample_index():
     """
 
 
+def q_media_meta_webp(spark, sf_dir):
+    """Container-level WebP metadata, REAL header parse: one structurally
+    valid WebP per document cycling all three variants (lossy VP8 keyframe
+    header, VP8L lossless header, VP8X extended with optional animation),
+    parsed by functions/webp.py inside mapInPandas — RIFF chunk walk +
+    LSB-first bit unpacking of the dimension fields. Pixel decode stays the
+    documented libwebp boundary."""
+    from ..operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.synth_webp_media(docs)
+    return multimodal.extract_webp_meta(media)
+
+
+def sql_media_meta_webp():
+    b = [_md5_byte("media_ref || ':w0'", str(k)) for k in range(5)]
+    return f"""
+        WITH refs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'wbp-' || CAST(doc_id AS VARCHAR) AS media_ref
+            FROM documents),
+        p AS (
+            SELECT doc_id, media_ref,
+                   CASE ({b[0]}) % 3 WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
+                        ELSE 'vp8x' END AS variant,
+                   100 + ({b[1]}) AS w, 80 + ({b[2]}) AS h,
+                   ({b[3]}) % 2 = 1 AS a, ({b[4]}) % 4 AS nf
+            FROM refs)
+        SELECT doc_id, media_ref, variant,
+               CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+               (a AND variant <> 'vp8') AS has_alpha,
+               (variant = 'vp8x' AND nf > 0) AS is_animated,
+               CAST(CASE WHEN variant = 'vp8x' THEN nf ELSE 0 END
+                    AS INTEGER) AS n_frames
+        FROM p
+    """
+
+
 def q_audio_features(spark, sf_dir):
     """Multimodal AUDIO decode, REAL: one synthetic mono 16-bit WAV per
     document (PCM payload = md5 chain of the media_ref, RIFF-encoded WITH a
@@ -3534,6 +3572,7 @@ REGISTRY: dict[str, tuple] = {
     "media_meta_mp3": (q_media_meta_mp3, sql_media_meta_mp3),
     "media_meta_mp4": (q_media_meta_mp4, sql_media_meta_mp4),
     "mp4_sample_index": (q_mp4_sample_index, sql_mp4_sample_index),
+    "media_meta_webp": (q_media_meta_webp, sql_media_meta_webp),
     "audio_features": (q_audio_features, sql_audio_features),
     "video_frames": (q_video_frames, sql_video_frames),
     "image_neardup": (q_image_neardup, sql_image_neardup),
