@@ -107,6 +107,52 @@ class TestMp4Walk:
         with pytest.raises(ValueError):
             mp4.parse_mp4(blob[: len(blob) // 3])
 
+    def test_multitrack_picks_video(self):
+        # audio trak listed FIRST in moov (a common real-world mux order):
+        # metadata and the sample index must come from the vide track only
+        vs = [bytes([k] * (10 + k)) for k in range(4)]
+        aus = [b"AUDIO0", b"AUDIO11", b"AUDIO222"]
+        blob = mp4.build_mp4(320, 240, vs, audio_samples=aus)
+        info = mp4.parse_mp4(blob)
+        assert info["handler"] == "vide"
+        assert (info["width"], info["height"]) == (320, 240)
+        assert info["n_samples"] == 4
+        assert info["total_sample_bytes"] == sum(len(s) for s in vs)
+        for k, s in enumerate(vs):
+            assert mp4.read_sample(blob, k, info) == s
+
+    def test_declared_count_past_box_end_is_valueerror(self):
+        # stsz sample_count patched huge: ValueError, never struct.error
+        blob = bytearray(mp4.build_mp4(64, 48, [b"abc", b"defg"]))
+        stsz_at = blob.find(b"stsz")
+        struct.pack_into(">I", blob, stsz_at + 12, 0xFFFFFF)
+        with pytest.raises(ValueError, match="truncated stsz"):
+            mp4.parse_mp4(bytes(blob))
+
+    def test_missing_stsc_is_valueerror(self):
+        # blank out the stsc box tag: incomplete table must raise, not
+        # return n_samples>0 with an empty sample index
+        blob = bytearray(mp4.build_mp4(64, 48, [b"abc", b"defg"]))
+        stsc_at = blob.find(b"stsc")
+        blob[stsc_at : stsc_at + 4] = b"free"
+        with pytest.raises(ValueError, match="stsc"):
+            mp4.parse_mp4(bytes(blob))
+
+    def test_runaway_nesting_is_valueerror(self):
+        # ~1000 nested trak headers in 8 KB: ValueError, not RecursionError
+        inner = b""
+        for _ in range(1000):
+            inner = mp4._box(b"trak", inner)
+        with pytest.raises(ValueError, match="nesting"):
+            mp4.parse_mp4(mp4._box(b"moov", inner))
+
+    def test_read_sample_reuses_parse(self):
+        samples = [b"one", b"twotwo"]
+        blob = mp4.build_mp4(64, 48, samples)
+        info = mp4.parse_mp4(blob)
+        assert mp4.read_sample(blob, 1, info) == b"twotwo"
+        assert mp4.read_sample(blob, 0) == b"one"  # back-compat path
+
 
 class TestSparkPath:
     def test_media_meta_mp3(self, spark):

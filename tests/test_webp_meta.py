@@ -57,6 +57,17 @@ class TestHeaderParse:
         with pytest.raises(ValueError, match="interframe"):
             parse_webp(bytes(blob))
 
+    def test_short_vp8x_is_valueerror(self):
+        # a VP8X chunk truncated to flags-only must raise, not silently
+        # parse as 1x1 (and an empty one must not IndexError)
+        import struct as _s
+
+        for short in (b"", b"\x00\x00\x00\x00"):
+            chunk = b"VP8X" + _s.pack("<I", len(short)) + short
+            blob = b"RIFF" + _s.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+            with pytest.raises(ValueError, match="VP8X"):
+                parse_webp(blob)
+
 
 class TestSparkPath:
     def test_media_meta_webp(self, spark):

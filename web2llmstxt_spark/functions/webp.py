@@ -126,6 +126,10 @@ def parse_webp(blob: bytes) -> dict:
             out["height"] = ((bits >> 14) & 0x3FFF) + 1
             out["has_alpha"] = bool((bits >> 28) & 1)
         elif tag == b"VP8X":
+            if len(body) < 10:
+                raise ValueError(
+                    f"VP8X chunk too short ({len(body)} bytes, need 10)"
+                )
             out["variant"] = "vp8x"
             flags = body[0]
             out["has_alpha"] = bool(flags & 0x10)
