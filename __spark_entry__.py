@@ -45,6 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_PRIORITY = [
     "media_features_jpeg", "media_features_gif",
     "media_meta_mp3", "media_meta_mp4", "mp4_sample_index", "media_meta_webp",
+    "gif_frames",
     "pack_sequences", "lm_xent", "c4_clean", "curate_e2e", "snapshot_diff",
     "link_pagerank", "ann_pq", "semdedup", "dsir_select", "cms_topk",
     "hll_distinct", "length_quantiles", "url_canon_cluster", "warc_parse",

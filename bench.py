@@ -47,6 +47,7 @@ HEADLINE = [
     "media_meta_mp4",
     "mp4_sample_index",
     "media_meta_webp",
+    "gif_frames",
     "span_roundtrip",
     "robots_filter",
     "politeness_cap",

@@ -107,6 +107,75 @@ class TestForeignStreams:
             decode_gif(blob[: len(blob) // 2])
 
 
+class TestAnimation:
+    def test_anim_roundtrip_with_delays(self):
+        import random
+
+        from web2llmstxt_spark.functions.gif import (
+            decode_gif_frames,
+            encode_gif_anim,
+        )
+
+        rng = random.Random(9)
+        frames = [bytes(rng.randrange(256) for _ in range(12 * 10))
+                  for _ in range(4)]
+        out = decode_gif_frames(encode_gif_anim(12, 10, frames, delay_cs=7))
+        assert (out["width"], out["height"]) == (12, 10)
+        assert out["delays_cs"] == [7] * 4
+        for k, f in enumerate(frames):
+            assert out["frames"][k] == _gray_rgb(f)
+
+    def test_subrect_composites_onto_canvas(self):
+        # hand-build: full first frame, then a 4x3 patch at (2,1) — the
+        # composited second frame must equal frame 1 with the rect painted
+        import struct as _s
+
+        from web2llmstxt_spark.functions.gif import (
+            _GRAY_PALETTE,
+            _image_block,
+            decode_gif_frames,
+        )
+
+        base = bytes(range(0, 80))  # 10x8
+        patch = bytes([200] * 12)  # 4x3
+        out = bytearray(b"GIF89a") + _s.pack("<HH", 10, 8)
+        out += bytes([0xF7, 0, 0]) + _GRAY_PALETTE
+        out += _image_block(10, 8, base)
+        patch_block = bytearray(_image_block(4, 3, patch))
+        _s.pack_into("<HHHH", patch_block, 1, 2, 1, 4, 3)  # left=2, top=1
+        out += patch_block + b"\x3b"
+        dec = decode_gif_frames(bytes(out))
+        want = bytearray(_gray_rgb(base))
+        for r in range(3):
+            for c in range(4):
+                i = 3 * ((1 + r) * 10 + (2 + c))
+                want[i : i + 3] = b"\xc8\xc8\xc8"
+        assert dec["frames"][1] == bytes(want)
+        assert dec["frames"][0] == _gray_rgb(base)
+
+    def test_still_gif_is_one_frame(self):
+        from web2llmstxt_spark.functions.gif import decode_gif_frames
+
+        px = multimodal.synth_gif_pixels("gmg-5")
+        out = decode_gif_frames(encode_gif(16, 16, px))
+        assert len(out["frames"]) == 1 and out["delays_cs"] == [0]
+
+    def test_extract_gif_frames_spark(self, spark):
+        docs = spark.createDataFrame([(str(i),) for i in range(8)], "doc_id string")
+        media = multimodal.synth_gif_anim_media(docs)
+        rows = multimodal.extract_gif_frames(media).collect()
+        by_ref = {}
+        for r in rows:
+            by_ref.setdefault(r["media_ref"], []).append(r)
+        for ref, rs in by_ref.items():
+            n = multimodal.synth_gif_anim_frames(ref)
+            assert len(rs) == n
+            for r in sorted(rs, key=lambda r: r["frame"]):
+                px = multimodal.synth_gif_frame_pixels(ref, r["frame"])
+                assert r["delay_cs"] == 4
+                assert r["mean_luma"] == sum(1000 * v for v in px) / 65280000
+
+
 class TestSparkPath:
     def test_media_features_gif_stats(self, spark):
         docs = spark.createDataFrame(

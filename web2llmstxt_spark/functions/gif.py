@@ -87,6 +87,19 @@ def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
     return bytes(w.bytes)
 
 
+def _image_block(width: int, height: int, pixels: bytes) -> bytes:
+    out = bytearray(b"\x2c")
+    out += struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out.append(8)  # LZW minimum code size
+    payload = _lzw_encode(pixels, 8)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00"  # block terminator
+    return bytes(out)
+
+
 def encode_gif(width: int, height: int, pixels: bytes) -> bytes:
     """Encode raw top-down GRAYSCALE bytes (``width*height``) to a GIF87a
     still with the identity gray palette (index i -> (i,i,i))."""
@@ -96,14 +109,32 @@ def encode_gif(width: int, height: int, pixels: bytes) -> bytes:
     out += struct.pack("<HH", width, height)
     out += bytes([0xF7, 0, 0])  # global table, 8-bit, 256 entries; bg 0
     out += _GRAY_PALETTE
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
-    out.append(8)  # LZW minimum code size
-    payload = _lzw_encode(pixels, 8)
-    for i in range(0, len(payload), 255):
-        chunk = payload[i : i + 255]
-        out.append(len(chunk))
-        out += chunk
-    out += b"\x00\x3b"  # block terminator + trailer
+    out += _image_block(width, height, pixels)
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def encode_gif_anim(
+    width: int, height: int, frames: list[bytes], delay_cs: int = 4
+) -> bytes:
+    """Encode grayscale frames to an ANIMATED GIF89a: one graphic-control
+    extension (delay in centiseconds) + full-frame image block per frame,
+    identity gray palette — the animation twin of the y4m stream."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError(
+                f"frame: want {width * height} bytes, got {len(f)}"
+            )
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0, 0])
+    out += _GRAY_PALETTE
+    for f in frames:
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += _image_block(width, height, f)
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -163,11 +194,11 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
     return bytes(out[:n_pixels])
 
 
-def decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
-    """Decode the first frame of a GIF blob -> ``(width, height, 3,
-    rgb_pixels)`` (palette looked up; interlace unwoven). Raises
-    ``ValueError`` on anything malformed — a loud boundary, not a silent
-    wrong answer."""
+def _iter_images(blob: bytes):
+    """Walk the data stream, yielding ``(canvas_w, canvas_h, left, top, w,
+    h, rgb_bytes, delay_cs)`` per image block (palette looked up, interlace
+    unwoven; ``delay_cs`` from the preceding graphic-control extension, 0
+    if none). Raises ``ValueError`` on malformed structure."""
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     sw, sh, packed, _bg, _par = struct.unpack_from("<HHBBB", blob, 6)
@@ -177,11 +208,16 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
         n = 2 << (packed & 0x07)
         global_pal = blob[pos : pos + 3 * n]
         pos += 3 * n
+    delay_cs = 0
+    any_image = False
     while pos < len(blob):
         b = blob[pos]
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension: label + sub-blocks
+            label = blob[pos + 1] if pos + 1 < len(blob) else None
+            if label == 0xF9 and pos + 7 < len(blob):  # graphic control
+                (delay_cs,) = struct.unpack_from("<H", blob, pos + 4)
             pos += 2
             while pos < len(blob) and blob[pos] != 0:
                 pos += 1 + blob[pos]
@@ -205,6 +241,7 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
             ln = blob[pos]
             payload += blob[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
+        pos += 1  # block terminator
         idx = _lzw_decode(bytes(payload), min_code_size, w * h)
         if len(idx) < w * h:
             raise ValueError(f"LZW data short: {len(idx)} of {w * h} pixels")
@@ -223,5 +260,46 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
             if ix >= n_pal:
                 raise ValueError(f"palette index {ix} out of range ({n_pal})")
             rgb[3 * i : 3 * i + 3] = pal[3 * ix : 3 * ix + 3]
-        return w, h, 3, bytes(rgb)
-    raise ValueError("no image descriptor found")
+        any_image = True
+        yield sw, sh, left, top, w, h, bytes(rgb), delay_cs
+        delay_cs = 0
+    if not any_image:
+        raise ValueError("no image descriptor found")
+
+
+def decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the first frame of a GIF blob -> ``(width, height, 3,
+    rgb_pixels)`` (palette looked up; interlace unwoven). Raises
+    ``ValueError`` on anything malformed — a loud boundary, not a silent
+    wrong answer."""
+    for _sw, _sh, _l, _t, w, h, rgb, _d in _iter_images(blob):
+        return w, h, 3, rgb
+    raise ValueError("no image descriptor found")  # pragma: no cover
+
+
+def decode_gif_frames(blob: bytes) -> dict:
+    """Decode ALL frames of an (animated) GIF -> ``{width, height, frames,
+    delays_cs}`` with canvas-composited RGB frames: a sub-rect frame is
+    painted onto a copy of the previous canvas (disposal method 'leave in
+    place' — the common web-animation case; background/restore disposal is
+    out of scope for the gray synth corpus and documented here)."""
+    width = height = None
+    frames: list[bytes] = []
+    delays: list[int] = []
+    canvas: bytearray | None = None
+    for sw, sh, left, top, w, h, rgb, delay in _iter_images(blob):
+        if canvas is None:
+            width, height = sw, sh
+            canvas = bytearray(3 * sw * sh)
+        for r in range(h):
+            if not 0 <= top + r < height:
+                raise ValueError("frame rect outside canvas")
+            dst = 3 * ((top + r) * width + left)
+            src = 3 * r * w
+            canvas[dst : dst + 3 * w] = rgb[src : src + 3 * w]
+        frames.append(bytes(canvas))
+        delays.append(delay)
+    return {
+        "width": width, "height": height,
+        "frames": frames, "delays_cs": delays,
+    }

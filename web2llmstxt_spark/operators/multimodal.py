@@ -858,6 +858,95 @@ def extract_webp_meta(media: DataFrame) -> DataFrame:
     return imgs.mapInPandas(run, WEBP_META)
 
 
+GIF_FRAMES = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("frame", IntegerType()),
+        StructField("delay_cs", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def synth_gif_anim_frames(media_ref: str) -> int:
+    """Frame count for an animated-GIF ref: 2 + b0%3 (bytes of
+    ``md5(ref + ':ga')``)."""
+    return 2 + hashlib.md5(f"{media_ref}:ga".encode()).digest()[0] % 3
+
+
+def synth_gif_frame_pixels(media_ref: str, frame: int) -> bytes:
+    """Frame ``frame``'s 16x16 grayscale bytes: md5 chain
+    ``md5(ref + ':f<frame>:' + i)`` — SQL-derivable per (doc, frame)."""
+    return b"".join(
+        hashlib.md5(f"{media_ref}:f{frame}:{i}".encode()).digest()
+        for i in range(_SYNTH_GIF_CHUNKS)
+    )
+
+
+def _synth_gif_anim_blob(media_ref: str) -> bytes:
+    n = synth_gif_anim_frames(media_ref)
+    frames = [synth_gif_frame_pixels(media_ref, k) for k in range(n)]
+    return gif.encode_gif_anim(SYNTH_GIF_SIDE, SYNTH_GIF_SIDE, frames, delay_cs=4)
+
+
+def synth_gif_anim_media(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL animated GIF89a per document (ref ``gfa-<doc_id>``, 2-4
+    frames with graphic-control delays), feeding the driver-checked
+    ``gif_frames`` row — the animation twin of the y4m video path."""
+    refs = documents.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.concat(F.lit("gfa-"), F.col(id_col).cast("string")).alias("media_ref"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": "image",
+                    "blob": [_synth_gif_anim_blob(r) for r in pdf["media_ref"]],
+                    "meta": [
+                        {"mime": "image/gif", "width": SYNTH_GIF_SIDE,
+                         "height": SYNTH_GIF_SIDE, "duration_ms": None}
+                        for _ in pdf["media_ref"]
+                    ],
+                }
+            )
+
+    return refs.mapInPandas(run, MEDIA)
+
+
+def extract_gif_frames(media: DataFrame) -> DataFrame:
+    """animated-GIF blobs -> one row per composited frame (index, delay,
+    exact mean luma) via mapInPandas, REAL decode (functions/gif.py
+    decode_gif_frames): an LZW, graphic-control or canvas-composition bug
+    changes the per-frame luma and fails the driver hash match."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "media_ref", "frame", "delay_cs", "mean_luma")}
+            for doc_id, ref, blob in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["blob"]
+            ):
+                dec = gif.decode_gif_frames(bytes(blob))
+                for k, (fr, d) in enumerate(zip(dec["frames"], dec["delays_cs"])):
+                    _w, _h, bins, luma = _pixel_stats(
+                        dec["width"], dec["height"], 3, fr
+                    )
+                    out["doc_id"].append(doc_id)
+                    out["media_ref"].append(ref)
+                    out["frame"].append(k)
+                    out["delay_cs"].append(d)
+                    out["mean_luma"].append(luma)
+            yield pd.DataFrame(out)
+
+    imgs = media.filter(F.col("kind") == "image").select("doc_id", "media_ref", "blob")
+    return imgs.mapInPandas(run, GIF_FRAMES)
+
+
 #: media span kinds media_from_documents materializes by default
 MEDIA_KINDS = ("image", "audio", "video")
 

@@ -1459,6 +1459,42 @@ def sql_media_meta_webp():
     """
 
 
+def q_gif_frames(spark, sf_dir):
+    """ANIMATED-GIF frame extraction, REAL LZW + graphic-control parse: one
+    2-4 frame GIF89a per document (frame pixels = per-frame md5 chains,
+    delays in graphic-control extensions), decoded frame-by-frame with
+    canvas composition (functions/gif.py decode_gif_frames) inside
+    mapInPandas — the animation twin of ``video_frames``. The oracle
+    re-derives each frame's exact mean luma from md5() in SQL."""
+    from ..operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.synth_gif_anim_media(docs)
+    return multimodal.extract_gif_frames(media)
+
+
+def sql_gif_frames():
+    nb = _md5_byte("media_ref || ':ga'", "0")
+    v = _sql_md5_byte("media_ref || ':f' || CAST(k AS VARCHAR)", "p")
+    return f"""
+        WITH refs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'gfa-' || CAST(doc_id AS VARCHAR) AS media_ref
+            FROM documents),
+        fr AS (
+            SELECT doc_id, media_ref, k
+            FROM refs CROSS JOIN generate_series(0, 4) AS g(k)
+            WHERE k < 2 + ({nb}) % 3),
+        b AS (
+            SELECT doc_id, media_ref, k, p, {v} AS v
+            FROM fr CROSS JOIN generate_series(0, 255) AS gp(p))
+        SELECT doc_id, media_ref, CAST(k AS INTEGER) AS frame,
+               CAST(4 AS INTEGER) AS delay_cs,
+               SUM(1000 * v) / 65280000.0 AS mean_luma
+        FROM b GROUP BY 1, 2, 3
+    """
+
+
 def q_audio_features(spark, sf_dir):
     """Multimodal AUDIO decode, REAL: one synthetic mono 16-bit WAV per
     document (PCM payload = md5 chain of the media_ref, RIFF-encoded WITH a
@@ -3573,6 +3609,7 @@ REGISTRY: dict[str, tuple] = {
     "media_meta_mp4": (q_media_meta_mp4, sql_media_meta_mp4),
     "mp4_sample_index": (q_mp4_sample_index, sql_mp4_sample_index),
     "media_meta_webp": (q_media_meta_webp, sql_media_meta_webp),
+    "gif_frames": (q_gif_frames, sql_gif_frames),
     "audio_features": (q_audio_features, sql_audio_features),
     "video_frames": (q_video_frames, sql_video_frames),
     "image_neardup": (q_image_neardup, sql_image_neardup),
