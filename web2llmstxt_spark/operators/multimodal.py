@@ -98,19 +98,22 @@ def _pixel_stats(w: int, h: int, ch: int, px: bytes) -> tuple[int, int, list[flo
       of 299R+587G+114B divided once by 255*1000*n_pixels (grayscale: R=G=B
       -> exactly 1000*v; RGBA: alpha excluded).
     """
-    nbins = [0] * 16
-    for b in px:
-        nbins[b >> 4] += 1
-    rgb_ch = min(ch, 3)
-    luma = 0
-    for i in range(0, len(px), ch):
-        if ch == 1:
-            luma += 1000 * px[i]
-        else:
-            luma += sum(_LUMA_MILLI[c] * px[i + c] for c in range(rgb_ch))
+    import numpy as np
+
+    arr = np.frombuffer(px, dtype=np.uint8)
+    nbins = np.bincount(arr >> 4, minlength=16)
+    if ch == 1:
+        luma = 1000 * int(arr.sum(dtype=np.int64))
+    else:
+        pix = arr.reshape(-1, ch).astype(np.int64)
+        luma = int(
+            sum(_LUMA_MILLI[c] * int(pix[:, c].sum()) for c in range(min(ch, 3)))
+        )
     n_bytes = len(px)
     n_pix = w * h
-    return w, h, [n / n_bytes for n in nbins], luma / (255 * 1000 * n_pix)
+    # all-integer sums + one float division per stat: bit-identical to the
+    # previous per-byte loop and to the DuckDB twins
+    return w, h, [int(n) / n_bytes for n in nbins], luma / (255 * 1000 * n_pix)
 
 
 def _png_decode_stats(blob: bytes) -> tuple[int, int, list[float], float]:
