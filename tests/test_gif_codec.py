@@ -153,6 +153,39 @@ class TestAnimation:
         assert dec["frames"][1] == bytes(want)
         assert dec["frames"][0] == _gray_rgb(base)
 
+    def test_overflowing_subrect_rejected(self):
+        # left+w past the canvas edge: must raise, never wrap into the next
+        # row or grow the canvas on the last row
+        import struct as _s
+
+        from web2llmstxt_spark.functions.gif import (
+            _GRAY_PALETTE,
+            _image_block,
+            decode_gif_frames,
+        )
+
+        base = bytes(range(0, 80))  # 10x8
+        patch = bytes([200] * 12)  # 4x3
+        for left, top in [(8, 1), (2, 6)]:
+            out = bytearray(b"GIF89a") + _s.pack("<HH", 10, 8)
+            out += bytes([0xF7, 0, 0]) + _GRAY_PALETTE
+            out += _image_block(10, 8, base)
+            pb = bytearray(_image_block(4, 3, patch))
+            _s.pack_into("<HHHH", pb, 1, left, top, 4, 3)
+            out += pb + b"\x3b"
+            with pytest.raises(ValueError, match="outside canvas"):
+                decode_gif_frames(bytes(out))
+
+    def test_truncation_is_valueerror(self):
+        # truncated header and mid-descriptor cuts: ValueError per the
+        # documented loud-boundary contract, never struct.error
+        blob = encode_gif(16, 16, multimodal.synth_gif_pixels("gmg-8"))
+        with pytest.raises(ValueError, match="truncated"):
+            decode_gif(b"GIF89a\x01\x00")
+        desc_at = 13 + 768  # image descriptor offset
+        with pytest.raises(ValueError, match="truncated"):
+            decode_gif(blob[: desc_at + 4])
+
     def test_still_gif_is_one_frame(self):
         from web2llmstxt_spark.functions.gif import decode_gif_frames
 

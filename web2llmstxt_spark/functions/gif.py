@@ -2,9 +2,12 @@
 multimodal mapInPandas without PIL (absent from this container).
 
 Scope: GIF87a/GIF89a, global or local color tables, interlaced or
-sequential row order, 89a extension blocks skipped; single-frame stills
-(the first image descriptor is decoded; animation frames after it are
-ignored). Output is always RGB via palette lookup. The ENCODER writes
+sequential row order; ``decode_gif`` returns the first frame,
+``decode_gif_frames`` decodes ALL frames of an animation with
+graphic-control delays and canvas composition (sub-rect frames painted
+onto the previous canvas — leave-in-place disposal; background/restore
+disposal is out of scope). Other 89a extension blocks are skipped. Output
+is always RGB via palette lookup. The ENCODER writes
 GIF87a grayscale (identity 256-entry gray palette, LZW minimum code size
 8) with full dictionary growth and mid-stream clear codes, so the decoder's
 variable-width/dictionary-reset paths are exercised by any image large
@@ -201,6 +204,8 @@ def _iter_images(blob: bytes):
     if none). Raises ``ValueError`` on malformed structure."""
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
+    if len(blob) < 13:
+        raise ValueError("truncated GIF header")
     sw, sh, packed, _bg, _par = struct.unpack_from("<HHBBB", blob, 6)
     pos = 13
     global_pal = None
@@ -225,6 +230,8 @@ def _iter_images(blob: bytes):
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected block {b:#x} at byte {pos}")
+        if pos + 10 > len(blob):
+            raise ValueError("truncated image descriptor")
         left, top, w, h, ipacked = struct.unpack_from("<HHHHB", blob, pos + 1)
         pos += 10
         pal = global_pal
@@ -291,9 +298,11 @@ def decode_gif_frames(blob: bytes) -> dict:
         if canvas is None:
             width, height = sw, sh
             canvas = bytearray(3 * sw * sh)
+        # both axes checked up front: a horizontal overflow would silently
+        # wrap into the next row (and GROW the canvas on the last row)
+        if left + w > width or top + h > height:
+            raise ValueError("frame rect outside canvas")
         for r in range(h):
-            if not 0 <= top + r < height:
-                raise ValueError("frame rect outside canvas")
             dst = 3 * ((top + r) * width + left)
             src = 3 * r * w
             canvas[dst : dst + 3 * w] = rgb[src : src + 3 * w]

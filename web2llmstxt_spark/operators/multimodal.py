@@ -928,6 +928,8 @@ def extract_gif_frames(media: DataFrame) -> DataFrame:
     changes the per-frame luma and fails the driver hash match."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             out = {k: [] for k in
                    ("doc_id", "media_ref", "frame", "delay_cs", "mean_luma")}
@@ -935,10 +937,19 @@ def extract_gif_frames(media: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["media_ref"], pdf["blob"]
             ):
                 dec = gif.decode_gif_frames(bytes(blob))
+                n_pix = dec["width"] * dec["height"]
                 for k, (fr, d) in enumerate(zip(dec["frames"], dec["delays_cs"])):
-                    _w, _h, bins, luma = _pixel_stats(
-                        dec["width"], dec["height"], 3, fr
-                    )
+                    # luma only (the 16-bin histogram _pixel_stats also
+                    # computes is unused here): exact integer BT.601 sum,
+                    # one float division — same arithmetic as the oracle
+                    pix = np.frombuffer(fr, dtype=np.uint8).reshape(-1, 3)
+                    luma = int(
+                        sum(
+                            _LUMA_MILLI[c]
+                            * int(pix[:, c].sum(dtype=np.int64))
+                            for c in range(3)
+                        )
+                    ) / (255 * 1000 * n_pix)
                     out["doc_id"].append(doc_id)
                     out["media_ref"].append(ref)
                     out["frame"].append(k)
