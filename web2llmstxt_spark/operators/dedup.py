@@ -142,26 +142,27 @@ def minhash_sql(text_expr: str, id_expr: str, k: int = NUM_MINHASHES) -> str:
 
 def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id", k: int = NUM_MINHASHES,
               bands: int = NUM_BANDS) -> DataFrame:
-    """Band keys: md5 of the concatenated band rows. Output (id, band, key)."""
+    """Band keys: md5 of the concatenated band rows. Output (id, band, key).
+
+    One projection + posexplode, NOT a bands-way union of selects: the
+    union form re-evaluated the whole upstream signature subtree (the
+    md5-per-token minhash projection — the dominant CPU) once per band
+    (opt guide §2.4 "remove shuffles/passes outright"). Same rows out.
+    """
     rows_per = k // bands
-    out = []
-    for b in range(bands):
+
+    def band_key(b: int):
         # sigs are bigints; pin the string form so the DuckDB twin's
         # sig::VARCHAR concatenation hashes the same bytes
         parts = [
             F.col(f"sig_{b * rows_per + r}").cast("string") for r in range(rows_per)
         ]
-        out.append(
-            sig_df.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *parts)).alias("band_key"),
-            )
-        )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res
+        return F.md5(F.concat_ws("|", *parts))
+
+    keys = F.array(*[band_key(b) for b in range(bands)])
+    return sig_df.select(
+        F.col(id_col), F.posexplode(keys).alias("band", "band_key")
+    )
 
 
 def lsh_candidate_pairs(band_df: DataFrame, id_col: str = "doc_id",
@@ -180,6 +181,11 @@ def lsh_candidate_pairs(band_df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("__bn") <= max_bucket)
             .drop("__bn")
         )
+    # materialize the slim (id, band, key) table before the self-join: the
+    # join's two sides otherwise each re-evaluate the full signature
+    # subtree (md5 per token — the dominant CPU). Bounded: one row per
+    # (doc, band), ids + 32-byte keys only — never the text.
+    band_df = band_df.localCheckpoint(eager=True)
     left = band_df.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("a"))
     right = band_df.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("b"))
     return (
@@ -196,12 +202,17 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 
     Output: (a, b, jaccard). Shingles = word n-grams joined by space.
     """
-    toks = tokens_col(text_col)
+    # tokens as their own projection (no CSE inside higher-order lambdas —
+    # an inlined split() would re-tokenize at every shingle position)
+    tokd = df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+    toks = F.col("__toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     shingles = F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     )
-    docs = df.select(F.col(id_col), shingles.alias("sh"))
+    # materialize once: the a- and b-side joins below otherwise EACH
+    # re-run the tokenize+shingle subtree over the full corpus
+    docs = tokd.select(F.col(id_col), shingles.alias("sh")).localCheckpoint(eager=True)
     a = docs.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "a").join(b, "b")

@@ -37,9 +37,26 @@ import time
 from html.parser import HTMLParser
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame
 
 from ..operators.retry import DEFAULT_FORCELIST, fetch_with_retry
+
+
+class _MaxDictParam(AccumulatorParam):
+    """Accumulator merging host -> last-fetch timestamps by max: tasks
+    report when they last hit each host; the driver folds the per-task
+    reports after the job so the NEXT fetch job can pace its first
+    same-host request against the previous job's last one."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, t in b.items():
+            if t > a.get(k, 0.0):
+                a[k] = t
+        return a
 
 # ------------------------------------------------------------------ render
 
@@ -250,6 +267,14 @@ class HttpFetcher:
         self.per_host_delay_ms = per_host_delay_ms
         self.extra_headers = dict(extra_headers or {})
         self._superstep = -1
+        # host -> last-fetch wall-clock seconds, carried ACROSS supersteps
+        # (r5 verdict #1: a per-job closure dict resets at superstep
+        # boundaries, exactly where the reference's sequential loop never
+        # violated the politeness floor). Wall clock, not monotonic: task
+        # processes differ (and on a cluster, hosts differ); NTP-scale skew
+        # is well under any realistic politeness delay.
+        self._last_hits: dict[str, float] = {}
+        self._hit_acc = None
 
     def fetch(self, cand: DataFrame, url_hint=None) -> DataFrame:
         from pyspark.sql import functions as F
@@ -295,22 +320,43 @@ class HttpFetcher:
         headers = dict(self.extra_headers)
         headers["X-Superstep"] = str(self._superstep)
 
+        hit_acc = None
+        seed_hits: dict[str, float] = {}
+        if delay_ms > 0:
+            # the previous fetch job has been materialized by the frontier
+            # before fetch() is called again, so its accumulator value is
+            # complete: fold it into the carried host -> last-hit map and
+            # seed this job's tasks with a snapshot.
+            if self._hit_acc is not None:
+                for k, t in self._hit_acc.value.items():
+                    if t > self._last_hits.get(k, 0.0):
+                        self._last_hits[k] = t
+            seed_hits = dict(self._last_hits)
+            hit_acc = cand.sparkSession.sparkContext.accumulator(
+                {}, _MaxDictParam()
+            )
+            self._hit_acc = hit_acc
+
         def run(batches):
             from urllib.parse import urlsplit
 
             base = http_transport(gateway, timeout, headers)
-            last_hit: dict[str, float] = {}  # host -> monotonic seconds
+            # host -> wall-clock seconds, seeded with the prior supersteps'
+            # last hits so the floor holds across superstep boundaries
+            last_hit: dict[str, float] = dict(seed_hits)
 
             def transport(url: str, attempt: int) -> dict:
                 if delay_ms > 0:
                     host = urlsplit(url).netloc
                     prev = last_hit.get(host)
-                    now = time.monotonic()
+                    now = time.time()
                     if prev is not None:
                         wait = prev + delay_ms / 1000.0 - now
                         if wait > 0:
                             time.sleep(wait)
-                    last_hit[host] = time.monotonic()
+                    now = time.time()
+                    last_hit[host] = now
+                    hit_acc.add({host: now})
                 return base(url, attempt)
 
             for pdf in batches:
