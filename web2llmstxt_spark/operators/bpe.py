@@ -43,6 +43,14 @@ from pyspark.sql.types import (
 
 SEP = "\x1f"
 
+#: materialize the repr table every K merge steps (r5 verdict #3): without
+#: this, step s re-executes s chained replace()s over the cached base and
+#: Catalyst re-analyzes an s-deep expression chain — O(n^2) total work and
+#: unbounded plan depth at a real 32k-merge vocab. With it, per-step work
+#: is bounded by K replaces over the last checkpoint (vocab-sized, tiny
+#: relative to the corpus), so per-step wall stays flat.
+BPE_CHECKPOINT_EVERY = 16
+
 MERGES_SCHEMA = StructType(
     [
         StructField("step", IntegerType(), False),
@@ -98,10 +106,17 @@ def learn_merges(
     n_merges: int,
     word_col: str = "word",
     cnt_col: str = "cnt",
+    checkpoint_every: int = BPE_CHECKPOINT_EVERY,
 ) -> DataFrame:
     """Learn the top-``n_merges`` BPE merge table from a (word, count)
     frequency table. Returns (step, left_tok, right_tok, merged, pair_count)
-    with step in merge order. Stops early if no pair remains."""
+    with step in merge order. Stops early if no pair remains.
+
+    Exact greedy (the merge table is the published artifact — batching
+    merges would change it); the scale lever is ``checkpoint_every``:
+    the repr table is re-materialized every K steps so per-step wall and
+    plan depth stay FLAT in the merge index instead of growing linearly.
+    """
     reprs = words.select(
         _initial_repr(F.col(word_col)).alias("repr"),
         F.col(cnt_col).cast("long").alias("cnt"),
@@ -129,6 +144,10 @@ def learn_merges(
                 .alias("repr"),
                 "cnt",
             )
+            if checkpoint_every and step % checkpoint_every == 0:
+                # truncate the replace chain: subsequent steps re-execute at
+                # most K replaces over this vocab-sized materialization
+                reprs = reprs.localCheckpoint(eager=True)
     finally:
         # the merge table is fully collected — release the cached vocab so
         # repeated invocations (bench loops, bpe_merges + bpe_encode_stats

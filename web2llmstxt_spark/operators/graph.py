@@ -66,8 +66,13 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
     hash equality round the output — ulp-scale drift only).
     """
     n = nodes.count()
-    ids = nodes.select(F.col(id_col).alias("id"))
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("g"))
+    # persist the loop-invariant graph tables: the iteration body otherwise
+    # re-derives the edge list (and its groupBy outdegree) from the source
+    # plan EVERY round — for URL/host graphs that is the full parse+explode
+    # subtree x iters (opt guide §2.4: don't recompute what a loop reuses)
+    ids = nodes.select(F.col(id_col).alias("id")).persist()
+    edges = edges.select("src", "dst").persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("g")).persist()
     ranks = ids.withColumn("r", F.lit(1.0) / F.lit(float(n)))
     for _ in range(iters):
         contrib = (
@@ -77,24 +82,34 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
             .agg(F.sum(F.col("r") / F.col("g")).alias("c"))
         )
         # dangling mass: rank held by nodes with no out-edges, redistributed
-        # uniformly (0.0 on regular graphs; one driver-side scalar).
-        dangling_row = (
+        # uniformly (0.0 on regular graphs). A broadcast 1-row aggregate in
+        # the SAME job as the checkpoint — not a separate .first() round
+        # trip per iteration; the arithmetic shape (dm/n as one double
+        # division) is unchanged, so ranks are bit-identical.
+        dangling = (
             ranks.join(outdeg.withColumnRenamed("src", "id"), "id", "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)))
-            .first()
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("__dm"))
         )
-        dm = float(dangling_row[0])
         ranks = (
             ids.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
                 (
                     F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dm / n))
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("__dm") / F.lit(float(n))
+                    )
                 ).alias("r"),
             )
             .localCheckpoint(eager=True)  # truncate per-iteration lineage (BSP state)
         )
+    # ranks is checkpointed: the returned plan no longer reads these
+    ids.unpersist()
+    edges.unpersist()
+    outdeg.unpersist()
     return ranks.select(F.col("id"), F.col("r").alias("rank"))
 
 

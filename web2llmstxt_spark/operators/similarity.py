@@ -460,12 +460,16 @@ def semdedup(
         # ONE broadcast-cross cosine pass serves both roles: the primary
         # assignment is exactly the probe_rank==1 slice (same argmax +
         # smallest-cid tie-break as ivf_assign) — running ivf_assign too
-        # would pay the dominant N x nlist pass twice
+        # would pay the dominant N x nlist pass twice. Materialized once:
+        # assigned + pairing + the self-join's two sides otherwise each
+        # re-run the N x nlist cosine pass.
         multi = ivf_assign_multi(df, centroids, nprobe, vec_col, id_col)
+        multi = multi.localCheckpoint(eager=True)
         assigned = multi.filter(F.col("probe_rank") == 1).select(id_col, "cid")
         pairing = multi.select(id_col, "cid")
     else:
         assigned = ivf_assign(df, centroids, vec_col, id_col)  # (id, cid)
+        assigned = assigned.localCheckpoint(eager=True)
         pairing = assigned
     withc = df.select(id_col, vec_col).join(pairing, id_col)
     if max_cluster is not None:
@@ -477,6 +481,9 @@ def semdedup(
         )
     else:
         examined = withc
+    # the self-join reads this twice; one materialization, bounded by
+    # nlist x max_cluster rows of (id, vec, cid)
+    examined = examined.localCheckpoint(eager=True)
     left = examined.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "cid")
     right = examined.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "cid")
     dropped = (

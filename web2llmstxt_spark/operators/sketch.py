@@ -122,9 +122,33 @@ def cms_topk_tokens(
 
     Output: (token, est:bigint, exact:bigint) top-k.
     """
-    counters = cms_build(df, text_col, width, depth)
+    # ONE tokenize+explode pass: reduce to the distinct-token frequency
+    # table first (the same shuffle the exact count needs anyway), then
+    # derive the sketch counters from it WEIGHTED by the exact counts —
+    # identical to counting occurrences directly, but the corpus text is
+    # scanned once instead of twice and the d-way md5 fan-out runs over
+    # distinct tokens, not occurrences. The materialized table is
+    # vocabulary-sized (the classic BPE/word2vec trick), never corpus-sized.
     toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
-    exact = toks.groupBy("token").agg(F.count("*").alias("exact"))
+    exact = (
+        toks.groupBy("token").agg(F.count("*").alias("exact"))
+        .localCheckpoint(eager=True)
+    )
+    rows = exact.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _bucket(F.col("token"), r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("rb"),
+        "exact",
+    )
+    counters = rows.groupBy(
+        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.sum("exact").alias("cnt"))
     est = cms_estimate(counters, exact.select("token"), "token", width, depth)
     return (
         exact.join(est, "token")
@@ -235,8 +259,14 @@ def hll_distinct_tokens(
     else:
         items = tokens_col(F.col(text_col))
     toks = df.select(F.explode(items).alias("__tok"))
-    est = hll_estimate(hll_registers(toks, "__tok", m), m)
-    exact = toks.agg(F.count_distinct("__tok").alias("exact"))
+    # ONE shingle-explode pass: distinct first (the same map-side partial
+    # distinct the exact count pays anyway), materialize the bounded
+    # distinct-shingle table, then fan out into registers + exact count.
+    # Registers are unchanged by the pre-distinct (idx/rho are pure
+    # functions of the token; max() absorbed duplicates before).
+    d = toks.distinct().localCheckpoint(eager=True)
+    est = hll_estimate(hll_registers(d, "__tok", m), m)
+    exact = d.agg(F.count("__tok").alias("exact"))  # count(col): NULL-skipping, as count_distinct was
     return est.crossJoin(exact)
 
 
