@@ -138,7 +138,11 @@ def test_server_side_politeness_per_superstep(spark, corpus):
 
 def test_per_host_delay_paces_requests(spark, corpus):
     # transport-level pacing floor: with partition_by_host + 80ms delay, two
-    # same-host requests are never closer than ~the delay on the server
+    # same-host requests are never closer than ~the delay on the server —
+    # INCLUDING across superstep boundaries (the r5 hole: the per-job pacing
+    # dict reset between fetch jobs, so the first same-host request of
+    # superstep N+1 was unpaced against the last of superstep N; the fix
+    # carries host->last-hit via an accumulator).
     some_host = next(iter({p.host for p in corpus.pages.values()}))
     cfg = CrawlConfig(max_pages=6, enforce_robots=True)
     with httpfetch.CorpusHTTPServer(corpus.pages) as srv:
@@ -148,6 +152,13 @@ def test_per_host_delay_paces_requests(spark, corpus):
         )
         _crawl_with(spark, corpus, cfg, fetcher)
         with srv._lock:
-            times = sorted(t for h, _p, _u, _s, t in srv.log if h == some_host)
+            recs = sorted(
+                (t, s) for h, _p, _u, s, t in srv.log if h == some_host
+            )
+    times = [t for t, _s in recs]
     gaps = [b - a for a, b in zip(times, times[1:])]
     assert all(g >= 0.07 for g in gaps), gaps
+    # the boundary case must actually be exercised: at least one consecutive
+    # same-host pair spans two different supersteps
+    steps = [s for _t, s in recs]
+    assert any(a != b for a, b in zip(steps, steps[1:])), steps

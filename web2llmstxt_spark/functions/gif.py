@@ -58,33 +58,42 @@ class _LZWWriter:
 
 
 def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    # dictionary keys are (prefix_code << 8) | next_byte ints, not byte
+    # strings: same greedy parse, same emitted code sequence, but O(1)
+    # int hashing instead of per-step bytes concatenation + hashing
+    # (r5 verdict #2: the per-byte Python loop was the bench's top kernel
+    # cost). Root strings are implicit (code == byte value).
     clear = 1 << min_code_size
     eoi = clear + 1
     w = _LZWWriter()
     width = min_code_size + 1
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    table: dict[int, int] = {}
     next_code = eoi + 1
     w.write(clear, width)
-    prefix = b""
+    prefix_code = -1  # -1 == empty prefix
     for b in data:
-        cand = prefix + bytes([b])
-        if cand in table:
-            prefix = cand
+        if prefix_code < 0:
+            prefix_code = b
             continue
-        w.write(table[prefix], width)
-        table[cand] = next_code
+        key = (prefix_code << 8) | b
+        cand = table.get(key)
+        if cand is not None:
+            prefix_code = cand
+            continue
+        w.write(prefix_code, width)
+        table[key] = next_code
         next_code += 1
         if next_code > (1 << width) and width < 12:
             width += 1
         elif next_code >= (1 << 12):
             # table full: reset (exercises the decoder's clear-code path)
             w.write(clear, width)
-            table = {bytes([i]): i for i in range(clear)}
+            table = {}
             next_code = eoi + 1
             width = min_code_size + 1
-        prefix = bytes([b])
-    if prefix:
-        w.write(table[prefix], width)
+        prefix_code = b
+    if prefix_code >= 0:
+        w.write(prefix_code, width)
     w.write(eoi, width)
     w.flush()
     return bytes(w.bytes)
@@ -164,36 +173,59 @@ class _LZWReader:
 
 
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    # Table entries are (start, length) SLICES of the output buffer, not
+    # byte strings: every non-root LZW entry equals a run of output already
+    # written (entry = prev + cur[0], and prev/cur are the two most recent
+    # emits, adjacent in `out`), so emitting a code is one bytearray slice
+    # copy (memcpy) and adding an entry is two ints — no per-entry bytes
+    # allocation (r5 verdict #2: this loop was the top bench kernel cost).
+    # Roots are (-1, byte); clear/eoi slots are None (the loud empty-slot
+    # boundary, unchanged).
     clear = 1 << min_code_size
     eoi = clear + 1
     r = _LZWReader(data)
     width = min_code_size + 1
-    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    roots: list = [(-1, i) for i in range(clear)] + [None, None]
+    table = list(roots)
     out = bytearray()
-    prev: bytes | None = None
+    have_prev = False
+    prev_start = prev_len = 0
     while len(out) < n_pixels:
         code = r.read(width)
         if code == clear:
-            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            table = list(roots)
             width = min_code_size + 1
-            prev = None
+            have_prev = False
             continue
         if code == eoi:
             break
         if code < len(table):
-            entry = table[code]
-            if entry == b"":
+            e = table[code]
+            if e is None:
                 raise ValueError(f"LZW code {code} refers to an empty slot")
-        elif code == len(table) and prev is not None:
-            entry = prev + prev[:1]  # the KwKwK case
+            s, ln = e
+            cur_len = 1 if s < 0 else ln
+            cur_start = len(out)
+            if s < 0:
+                out.append(ln)  # root: single byte `ln`
+            else:
+                out += out[s : s + ln]
+        elif code == len(table) and have_prev:
+            # the KwKwK case: entry = prev + prev[0]
+            cur_len = prev_len + 1
+            cur_start = len(out)
+            out += out[prev_start : prev_start + prev_len]
+            out.append(out[prev_start])
         else:
             raise ValueError(f"LZW code {code} out of range")
-        out += entry
-        if prev is not None and len(table) < 4096:
-            table.append(prev + entry[:1])
+        if have_prev and len(table) < 4096:
+            # new entry = prev + cur[0] == out[prev_start : prev_start +
+            # prev_len + 1] (cur was appended directly after prev)
+            table.append((prev_start, prev_len + 1))
         if len(table) >= (1 << width) and width < 12:
             width += 1
-        prev = entry
+        have_prev = True
+        prev_start, prev_len = cur_start, cur_len
     return bytes(out[:n_pixels])
 
 
@@ -262,13 +294,18 @@ def _iter_images(blob: bytes):
                     src += 1
             idx = b"".join(woven)  # type: ignore[arg-type]
         n_pal = len(pal) // 3
-        rgb = bytearray(3 * w * h)
-        for i, ix in enumerate(idx):
-            if ix >= n_pal:
-                raise ValueError(f"palette index {ix} out of range ({n_pal})")
-            rgb[3 * i : 3 * i + 3] = pal[3 * ix : 3 * ix + 3]
+        # vectorized palette lookup (was a per-pixel Python loop): one
+        # bounds check + one numpy fancy-index over the (n_pal, 3) table
+        import numpy as np
+
+        idx_arr = np.frombuffer(idx, dtype=np.uint8)
+        if idx_arr.size and int(idx_arr.max()) >= n_pal:
+            bad = int(idx_arr[idx_arr >= n_pal][0])
+            raise ValueError(f"palette index {bad} out of range ({n_pal})")
+        pal_arr = np.frombuffer(pal, dtype=np.uint8)[: 3 * n_pal].reshape(n_pal, 3)
+        rgb = pal_arr[idx_arr].tobytes()
         any_image = True
-        yield sw, sh, left, top, w, h, bytes(rgb), delay_cs
+        yield sw, sh, left, top, w, h, rgb, delay_cs
         delay_cs = 0
     if not any_image:
         raise ValueError("no image descriptor found")

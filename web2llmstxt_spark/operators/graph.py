@@ -66,13 +66,19 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
     hash equality round the output — ulp-scale drift only).
     """
     n = nodes.count()
-    # persist the loop-invariant graph tables: the iteration body otherwise
-    # re-derives the edge list (and its groupBy outdegree) from the source
-    # plan EVERY round — for URL/host graphs that is the full parse+explode
-    # subtree x iters (opt guide §2.4: don't recompute what a loop reuses)
-    ids = nodes.select(F.col(id_col).alias("id")).persist()
-    edges = edges.select("src", "dst").persist()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("g")).persist()
+    # lazily checkpoint the loop-invariant graph tables: the iteration body
+    # otherwise re-derives the edge list (and its groupBy outdegree) from
+    # the source plan EVERY round — for URL/host graphs that is the full
+    # parse+explode subtree x iters (opt guide §2.4: don't recompute what a
+    # loop reuses). eager=False: each table materializes ONCE inside the
+    # consumer's own job — no extra per-table driver round trip, and no
+    # CacheManager plan-cache entry to leak across invocations.
+    ids = nodes.select(F.col(id_col).alias("id")).localCheckpoint(eager=False)
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    outdeg = (
+        edges.groupBy("src").agg(F.count("*").alias("g"))
+        .localCheckpoint(eager=False)
+    )
     ranks = ids.withColumn("r", F.lit(1.0) / F.lit(float(n)))
     for _ in range(iters):
         contrib = (
@@ -104,12 +110,14 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
                     )
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)  # truncate per-iteration lineage (BSP state)
+            # LAZY checkpoint (the connected_components trick): each level's
+            # ranks compute exactly once — the three downstream references
+            # (next contrib, next dangling agg, final select) read the
+            # materialized blocks instead of exponentially re-expanding the
+            # plan — but no per-iteration driver job is paid; the whole
+            # loop materializes inside the consumer's single action.
+            .localCheckpoint(eager=False)
         )
-    # ranks is checkpointed: the returned plan no longer reads these
-    ids.unpersist()
-    edges.unpersist()
-    outdeg.unpersist()
     return ranks.select(F.col("id"), F.col("r").alias("rank"))
 
 

@@ -22,6 +22,16 @@ from ..operators import bm25, dedup, graph, pq, similarity, textstats
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def loadh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load + spread: for queries whose SCAN-STAGE per-row work dominates
+    (codec kernels in mapInPandas, md5-per-token projections, shingle
+    explodes). Plain ``load`` everywhere else — the exchange plus its AQE
+    stage barrier costs ~0.1-0.5 s, which swamps sub-second queries
+    (measured A/B at sf0.1: pricing_summary 0.22 -> 0.58 s with a blanket
+    spread, vs gif_frames 13.1 -> 4.4 s with it; hence opt-in per query)."""
     return spread(spark.read.parquet(f"{sf_dir}/{name}.parquet"), spark)
 
 
@@ -32,17 +42,22 @@ def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     plans as ONE task and all pre-shuffle work (tokenize+md5 minhash
     projections, mapInPandas codec kernels) runs on one core of N. A
     parquet row group is not splittable, so `files.minPartitionNum` cannot
-    help; the only way to engage the other cores is one round-robin
-    exchange of the (tiny) base rows. Measured at sf0.1/32 cores:
-    gif_frames 13.1 -> 4.4 s, lsh_pairs 26.1 -> 9.8 s.
+    help; the only way to engage the other cores is one exchange of the
+    (tiny) base rows. Measured at sf0.1/32 cores: gif_frames 13.1 -> 4.4 s,
+    lsh_pairs 26.1 -> 9.8 s.
 
     Adaptive, not constant-tuned: the spread triggers ONLY when the scan
     yields fewer splits than the session's parallelism, so at real scale
     (thousands of row groups) it is a no-op and no extra shuffle is paid.
+
+    HASH partitioning on the leading column (all inputs lead with a unique
+    id), NOT keyless round-robin: round-robin pays a per-input-partition
+    sort before the exchange (SPARK-23207 determinism guard) — on a
+    single-split input that is a full single-threaded sort of the table.
     """
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
+        return df.repartition(par, F.col(df.columns[0]))
     return df
 
 
@@ -211,7 +226,7 @@ def sql_sitemap_order():
 
 def q_categorize(spark, sf_dir):
     """G1: entry categorization as a CASE chain + section counts."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     with_cat = docs.select(
         native.categorize_native(
             synth_url_col(), synth_title_col(), F.col("text")
@@ -443,7 +458,7 @@ def sql_dedup_exact():
 def q_minhash(spark, sf_dir):
     """MinHash signatures (one md5 per token + affine universal hashes;
     engine-portable 64-bit modular arithmetic)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     return dedup.minhash_signatures(docs, "text", "doc_id", k=4)
 
 
@@ -453,7 +468,7 @@ def sql_minhash():
 
 def q_lsh_pairs(spark, sf_dir):
     """MinHash LSH banding -> candidate near-dup pairs (bucket self-join)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, "text", "doc_id", k=8)
     bands = dedup.lsh_bands(sigs, "doc_id", k=8, bands=4)
     return dedup.lsh_candidate_pairs(bands, "doc_id")
@@ -483,7 +498,7 @@ def q_substring_dedup(spark, sf_dir):
     Catches distinct pages sharing long boilerplate/quoted runs that
     doc-level exact/minhash dedup misses. Integer basis-point output, so
     both engines agree with zero float-rounding hazard."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     return dedup.window_dup_stats(docs, "text", "doc_id")
 
 
@@ -495,7 +510,7 @@ def q_substring_scrub(spark, sf_dir):
     """The remove step behind substring_dedup: cut every token covered by a
     cross-doc duplicated window and reassemble the survivors (Lee et al.
     ACL 2022). Token-sequence semantics; engine-exact string output."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     return dedup.remove_duplicated_spans(docs, "text", "doc_id")
 
 
@@ -521,7 +536,7 @@ def q_text_embed(spark, sf_dir):
     """Model-free embedding generation: feature-hashing (Weinberger et al.
     ICML 2009) text -> L2-normalized vector, flat e_0..e_15 columns.
     Closes the in-engine text -> embedding -> ANN loop."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     return similarity.hash_embed(docs, "text", "doc_id")
 
 
@@ -593,7 +608,7 @@ def q_c4_clean(spark, sf_dir):
     retention, min-lines / lorem-ipsum / curly-brace page drops."""
     from ..operators import curation
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = loadh(spark, sf_dir, "documents").select(
         "doc_id", _c4_planted_col().alias("text")
     )
     return curation.c4_clean(docs, "text", "doc_id")
@@ -633,7 +648,7 @@ def q_jaccard_verify(spark, sf_dir):
     boilerplate-cluster bucket cap (MAX_BUCKET) engaged — the full near-dup
     verify stage: high-precision single 8-row band (pairs agreeing on ALL 8
     minhashes), capped self-join, exact 3-gram Jaccard on candidates only."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, "text", "doc_id", k=8)
     bands = dedup.lsh_bands(sigs, "doc_id", k=8, bands=1)
     pairs = dedup.lsh_candidate_pairs(bands, "doc_id", max_bucket=dedup.MAX_BUCKET)
@@ -698,7 +713,7 @@ def q_dedup_components(spark, sf_dir):
     representative. Documents with no verified duplicate are their own
     component — the output is a total dedup assignment: keep one doc per
     component value, drop the rest."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, "text", "doc_id", k=8)
     bands = dedup.lsh_bands(sigs, "doc_id", k=8, bands=1)
     cand = dedup.lsh_candidate_pairs(bands, "doc_id", max_bucket=dedup.MAX_BUCKET)
@@ -739,7 +754,7 @@ def sql_dedup_components():
 
 def q_quality_scores(spark, sf_dir):
     """Quality scoring (length/punct/word-shape bands; exact quarters)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     return docs.select("doc_id", textstats.quality_score(F.col("text")).alias("quality"))
 
 
@@ -844,7 +859,7 @@ def sql_simhash():
 
 def q_lang_detect(spark, sf_dir):
     """Language-ID heuristic (stopword argmax; native array ops)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     return docs.select("doc_id", textstats.detect_language(F.col("text")).alias("lang_detected"))
 
 
@@ -1157,7 +1172,7 @@ def q_media_features(spark, sf_dir):
     codec round trip end-to-end, not just plumbing."""
     from ..operators import multimodal
 
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     media = multimodal.synth_media(docs)
     feats = multimodal.extract_image_features(media, decoder="png")
     # feat array -> scalar columns: the driver's value compare stringifies
@@ -1207,7 +1222,7 @@ def q_media_features_jpeg(spark, sf_dir):
     ``media_features``."""
     from ..operators import multimodal
 
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     media = multimodal.synth_jpeg_media(docs)
     feats = multimodal.extract_image_features(media, decoder="jpeg")
     return feats.select(
@@ -1253,7 +1268,7 @@ def q_media_features_gif(spark, sf_dir):
     bug in the LZW path changes the bytes and fails the hash match."""
     from ..operators import multimodal
 
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     media = multimodal.synth_gif_media(docs)
     feats = multimodal.extract_image_features(media, decoder="gif")
     return feats.select(
@@ -1320,7 +1335,7 @@ def q_media_meta_mp3(spark, sf_dir):
     Codec payload stays opaque (documented ffmpeg boundary)."""
     from ..operators import multimodal
 
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     media = multimodal.synth_mp3_media(docs)
     return multimodal.extract_mp3_meta(media)
 
@@ -1489,7 +1504,7 @@ def q_gif_frames(spark, sf_dir):
     re-derives each frame's exact mean luma from md5() in SQL."""
     from ..operators import multimodal
 
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     media = multimodal.synth_gif_anim_media(docs)
     return multimodal.extract_gif_frames(media)
 
@@ -1876,7 +1891,7 @@ def q_span_roundtrip(spark, sf_dir):
     rule's row-level contract — not just plumbing."""
     from ..functions import udfs
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = loadh(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
@@ -2085,7 +2100,7 @@ def q_pagination_discover(spark, sf_dir):
     expected set of the same template. Vectorized pandas UDF, exploded."""
     from ..functions.pagination import discover_pagination_udf
 
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     k = F.col("doc_id").cast("string")
     base = F.concat(F.lit("https://ex"), (F.col("doc_id") % 5).cast("string"), F.lit(".com"))
     host = F.concat(F.lit("ex"), (F.col("doc_id") % 5).cast("string"), F.lit(".com"))
@@ -2140,7 +2155,7 @@ def q_decontam(spark, sf_dir):
     == 0). Benchmark n-gram hashes broadcast; corpus bytes never shuffle."""
     from ..operators import curation
 
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
     return curation.decontaminate(docs, bench, n=DECONTAM_N)
 
@@ -2171,7 +2186,7 @@ def q_repetition_filter(spark, sf_dir):
     duplicate-token fraction + top-bigram mass, integer-exact keep flag."""
     from ..operators import curation
 
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     return curation.repetition_stats(docs)
 
 
@@ -2265,7 +2280,7 @@ def q_dsir_select(spark, sf_dir):
     corpus' curation step, integerized for cross-engine exactness."""
     from ..operators import curation
 
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     return curation.dsir_select(
         docs, F.col("lang") == "en", "text", "doc_id", n_buckets=1024, k=100
     )
@@ -2286,7 +2301,7 @@ def q_cms_topk(spark, sf_dir):
     invariant is in the checked output."""
     from ..operators import sketch
 
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     return sketch.cms_topk_tokens(docs, "text", k=20)
 
 
@@ -2307,7 +2322,7 @@ def q_hll_distinct(spark, sf_dir):
     estimate one pinned IEEE double expression: bit-identical in DuckDB."""
     from ..operators import sketch
 
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     return sketch.hll_distinct_tokens(docs, "text", n=3)
 
 
@@ -2346,7 +2361,7 @@ def q_pii_scrub(spark, sf_dir):
     both engines before scrubbing; counts and redacted bytes must agree."""
     from ..operators import scrub
 
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     d = F.col("doc_id")
     planted = docs.withColumn(
         "text",
@@ -2405,7 +2420,7 @@ def q_line_dedup(spark, sf_dir):
     held by >= LINE_MIN_DOCS distinct docs and reassembles in order."""
     from ..operators import curation
 
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     toks = dedup.tokens_col("text")
     n_chunks = F.greatest(
         F.floor((F.size(toks) + LINE_CHUNK - 1) / LINE_CHUNK), F.lit(1)
@@ -2529,7 +2544,7 @@ def q_curate_e2e(spark, sf_dir):
 
     from ..operators import curation, scrub
 
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     rep = curation.repetition_stats(docs).select("doc_id", "n_tokens", "keep")
     bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
     cont = curation.decontaminate(docs, bench, n=DECONTAM_N).select(
@@ -3412,7 +3427,7 @@ def q_host_pagerank(spark, sf_dir):
     authority is stabler than page-level at frontier scale, and the graph is
     6 orders smaller). Every host has out-edges, so the dangling term is
     exactly 0 and the oracle omits it, like the page twin."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadh(spark, sf_dir, "documents")
     hid = docs.select("doc_id", _host_id_col().alias("hid"))
     edges = graph.synthetic_edges(docs)
     hedges = (
