@@ -328,8 +328,9 @@ def continuous_crawl(
             now = todo
         fetched = fetcher.fetch(now.select("url")).persist()
         try:
-            ring["todo"] = fetched.count() + n_defer
-            if fetched.count() > 0:
+            n_fetched = fetched.count()  # ONE count job per micro-batch
+            ring["todo"] = n_fetched + n_defer
+            if n_fetched > 0:
                 ok = fetched.filter(F.col("success"))
                 ok.select("url", "title", "content", "wc").write.mode(
                     "append"
