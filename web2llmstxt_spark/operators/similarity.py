@@ -197,9 +197,16 @@ def ivf_assign(df: DataFrame, centroids: list[tuple[int, list[float]]],
         [(cid, [float(x) for x in vec]) for cid, vec in centroids],
         f"cid int, cvec array<double>",
     )
-    crossed = df.select(id_col, vec_col).crossJoin(F.broadcast(cent_df))
+    # norms hoisted out of the N x nlist cross product: one array aggregate
+    # per vector row + one per centroid row instead of two per PAIR; the
+    # per-pair dot/(nv*nc) is float-identical to cosine_sim (same operand
+    # values, same operation order)
+    cent_df = cent_df.withColumn("__nc", _norm(F.col("cvec")))
+    vecs = df.select(id_col, vec_col).withColumn("__nv", _norm(F.col(vec_col)))
+    crossed = vecs.crossJoin(F.broadcast(cent_df))
     sims = crossed.select(
-        id_col, "cid", cosine_sim(F.col(vec_col), F.col("cvec")).alias("csim")
+        id_col, "cid",
+        (_dot(F.col(vec_col), F.col("cvec")) / (F.col("__nv") * F.col("__nc"))).alias("csim"),
     )
     return sims.groupBy(id_col).agg(F.max_by("cid", F.struct("csim", (-F.col("cid")).alias("t"))).alias("cid"))
 
@@ -221,9 +228,13 @@ def ivf_assign_multi(df: DataFrame, centroids: list[tuple[int, list[float]]],
         [(cid, [float(x) for x in vec]) for cid, vec in centroids],
         "cid int, cvec array<double>",
     )
-    crossed = df.select(id_col, vec_col).crossJoin(F.broadcast(cent_df))
+    # same norm hoist as ivf_assign (float-identical csim)
+    cent_df = cent_df.withColumn("__nc", _norm(F.col("cvec")))
+    vecs = df.select(id_col, vec_col).withColumn("__nv", _norm(F.col(vec_col)))
+    crossed = vecs.crossJoin(F.broadcast(cent_df))
     sims = crossed.select(
-        id_col, "cid", cosine_sim(F.col(vec_col), F.col("cvec")).alias("csim")
+        id_col, "cid",
+        (_dot(F.col(vec_col), F.col("cvec")) / (F.col("__nv") * F.col("__nc"))).alias("csim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
     return (
@@ -482,14 +493,28 @@ def semdedup(
     else:
         examined = withc
     # the self-join reads this twice; one materialization, bounded by
-    # nlist x max_cluster rows of (id, vec, cid)
+    # nlist x max_cluster rows of (id, vec, cid). The vector NORM rides
+    # along (one array aggregate per ROW instead of two per PAIR — the
+    # pair stage is the operator's O(cap^2 x nlist) term); the per-pair
+    # expression dot/(na*nb) is float-identical to cosine_sim's
+    # dot/(norm(a)*norm(b)): same operand values, same operation order.
+    examined = examined.withColumn("__nv", _norm(F.col(vec_col)))
     examined = examined.localCheckpoint(eager=True)
-    left = examined.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "cid")
-    right = examined.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "cid")
+    left = examined.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "cid",
+        F.col("__nv").alias("__na"),
+    )
+    right = examined.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "cid",
+        F.col("__nv").alias("__nb"),
+    )
     dropped = (
         left.join(right, "cid")
         .filter(F.col("a") < F.col("b"))
-        .filter(cosine_sim(F.col("va"), F.col("vb")) >= threshold)
+        .filter(
+            _dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
+            >= threshold
+        )
         .select(F.col("b").alias(id_col))
         .distinct()
     )
