@@ -211,13 +211,21 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     )
     # materialize once: the a- and b-side joins below otherwise EACH
-    # re-run the tokenize+shingle subtree over the full corpus
-    docs = tokd.select(F.col(id_col), shingles.alias("sh")).localCheckpoint(eager=True)
-    a = docs.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
-    b = docs.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    # re-run the tokenize+shingle subtree over the full corpus. Shingle-set
+    # SIZE rides along so the pair stage needs only the intersection:
+    # the arrays are distinct, so |union| = |a| + |b| - |inter| exactly
+    # (integer identity -> same double jaccard), dropping the per-pair
+    # array_union — half the dominant pair-stage array work.
+    docs = tokd.select(
+        F.col(id_col), shingles.alias("sh")
+    ).withColumn("__n", F.size("sh")).localCheckpoint(eager=True)
+    a = docs.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"),
+                    F.col("__n").alias("__na"))
+    b = docs.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"),
+                    F.col("__n").alias("__nb"))
     joined = pairs.join(a, "a").join(b, "b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    union = F.col("__na") + F.col("__nb") - inter
     return joined.select(
         "a", "b",
         F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)).alias("jaccard"),
