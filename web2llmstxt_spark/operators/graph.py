@@ -79,11 +79,14 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
         edges.groupBy("src").agg(F.count("*").alias("g"))
         .localCheckpoint(eager=False)
     )
+    # out-degree pre-joined into the edge table ONCE: the loop body joins
+    # one table per iteration instead of two (per-edge contribution terms
+    # r/g are unchanged values)
+    ewg = edges.join(outdeg, "src").localCheckpoint(eager=False)
     ranks = ids.withColumn("r", F.lit(1.0) / F.lit(float(n)))
     for _ in range(iters):
         contrib = (
-            edges.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(outdeg, "src")
+            ewg.join(ranks.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("r") / F.col("g")).alias("c"))
         )
